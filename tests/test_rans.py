@@ -1,0 +1,151 @@
+"""Round-trip and invariant tests for the native rANS core (L0).
+
+Mirrors the verification the reference never automated (SURVEY.md §4):
+symbols -> stream -> symbols bit-exactness, escape/bypass ranges,
+stream_part > 1 container parity, CDF quantizer invariants.
+"""
+
+import numpy as np
+import pytest
+
+from dcvc_tpu.ops import rans as rans_mod
+from dcvc_tpu.ops import RansDecoder, RansEncoder, pmf_to_quantized_cdf
+
+
+def make_gaussian_cdfs(num_cdfs=8, support=33, precision=16, seed=0):
+    rng = np.random.default_rng(seed)
+    cdfs = np.zeros((num_cdfs, support + 2), dtype=np.int32)
+    sizes = np.zeros(num_cdfs, dtype=np.int32)
+    offsets = np.zeros(num_cdfs, dtype=np.int32)
+    for i in range(num_cdfs):
+        n = int(rng.integers(5, support))
+        xs = np.arange(n) - n // 2
+        scale = float(rng.uniform(0.5, 8.0))
+        pmf = np.exp(-np.abs(xs) / scale)
+        pmf = pmf / pmf.sum() * 0.99
+        tail = 1.0 - pmf.sum()
+        full = np.concatenate([pmf, [tail]]).astype(np.float32)
+        cdf = pmf_to_quantized_cdf(full, precision)
+        cdfs[i, : cdf.size] = cdf
+        sizes[i] = cdf.size
+        offsets[i] = -(n // 2)
+    return cdfs, sizes, offsets
+
+
+def roundtrip(symbols, indexes, cdfs, sizes, offsets, stream_part=1):
+    enc = RansEncoder(False, stream_part)
+    enc.reset()
+    enc.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+    enc.flush()
+    stream = enc.get_encoded_stream().tobytes()
+    dec = RansDecoder(stream_part)
+    dec.set_stream(stream)
+    out = dec.decode_stream(indexes, cdfs, sizes, offsets)
+    return stream, out
+
+
+def test_cdf_quantizer_invariants():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        n = int(rng.integers(3, 80))
+        pmf = rng.random(n).astype(np.float32)
+        pmf /= pmf.sum()
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert cdf[0] == 0
+        assert cdf[-1] == 1 << 16
+        assert np.all(np.diff(cdf) >= 1), "every symbol needs freq >= 1"
+
+
+def test_cdf_quantizer_matches_python_fallback():
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        n = int(rng.integers(3, 60))
+        pmf = (rng.random(n) ** 4).astype(np.float32)
+        pmf /= pmf.sum()
+        c_native = pmf_to_quantized_cdf(pmf, 16)
+        c_py = rans_mod._py_pmf_to_quantized_cdf(pmf, 16)
+        np.testing.assert_array_equal(c_native, c_py)
+
+
+@pytest.mark.parametrize("stream_part", [1, 2, 4])
+def test_roundtrip_in_support(stream_part):
+    cdfs, sizes, offsets = make_gaussian_cdfs()
+    rng = np.random.default_rng(3)
+    n = 4096
+    indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int16)
+    # symbols within each cdf's support
+    max_vals = sizes[indexes] - 2
+    symbols = (rng.integers(0, 1 << 16, n) % max_vals + offsets[indexes]).astype(np.int16)
+    stream, out = roundtrip(symbols, indexes, cdfs, sizes, offsets, stream_part)
+    np.testing.assert_array_equal(symbols, out)
+
+
+def test_roundtrip_escape_values():
+    """Out-of-support symbols go through bypass coding and must survive."""
+    cdfs, sizes, offsets = make_gaussian_cdfs()
+    rng = np.random.default_rng(4)
+    n = 1024
+    indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int16)
+    symbols = rng.integers(-30000, 30000, n).astype(np.int16)
+    stream, out = roundtrip(symbols, indexes, cdfs, sizes, offsets)
+    np.testing.assert_array_equal(symbols, out)
+
+
+def test_negative_index_skipped():
+    cdfs, sizes, offsets = make_gaussian_cdfs()
+    indexes = np.array([0, -1, 1, -1, 2], dtype=np.int16)
+    symbols = np.array([1, 99, -2, 99, 0], dtype=np.int16)
+    enc = RansEncoder(False, 1)
+    enc.reset()
+    enc.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+    enc.flush()
+    dec = RansDecoder(1)
+    dec.set_stream(enc.get_encoded_stream().tobytes())
+    out = dec.decode_stream(indexes, cdfs, sizes, offsets)
+    assert out[0] == 1 and out[2] == -2 and out[4] == 0
+
+
+@pytest.mark.skipif(not rans_mod.native_available(), reason="no native lib")
+def test_native_matches_python_stream():
+    """C++ and pure-Python encoders must emit byte-identical streams."""
+    cdfs, sizes, offsets = make_gaussian_cdfs()
+    rng = np.random.default_rng(5)
+    n = 512
+    indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int16)
+    symbols = rng.integers(-100, 100, n).astype(np.int16)
+
+    enc_c = RansEncoder(False, 2)
+    enc_c.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+    enc_c.flush()
+    stream_c = enc_c.get_encoded_stream().tobytes()
+
+    enc_py = rans_mod._PyEncoder(2)
+    enc_py.encode(symbols, indexes.astype(np.int16),
+                  cdfs.astype(np.int32), sizes, offsets)
+    enc_py.flush()
+    stream_py = enc_py.get_stream().tobytes()
+    assert stream_c == stream_py
+
+    # cross-decode: python decoder reads native stream
+    dec_py = rans_mod._PyDecoder(2)
+    dec_py.set_stream(np.frombuffer(stream_c, dtype=np.uint8))
+    out = dec_py.decode(indexes, cdfs.astype(np.int32), sizes, offsets)
+    np.testing.assert_array_equal(symbols, out)
+
+
+def test_multiple_encode_calls_one_stream():
+    """Several encode calls then one flush — the frame-level usage pattern."""
+    cdfs, sizes, offsets = make_gaussian_cdfs()
+    rng = np.random.default_rng(6)
+    chunks = [rng.integers(-20, 20, 256).astype(np.int16) for _ in range(4)]
+    idx_chunks = [rng.integers(0, cdfs.shape[0], 256).astype(np.int16) for _ in range(4)]
+    enc = RansEncoder(False, 2)
+    enc.reset()
+    for s, i in zip(chunks, idx_chunks):
+        enc.encode_with_indexes(s, i, cdfs, sizes, offsets)
+    enc.flush()
+    dec = RansDecoder(2)
+    dec.set_stream(enc.get_encoded_stream().tobytes())
+    for s, i in zip(chunks, idx_chunks):
+        out = dec.decode_stream(i, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(s, out)
