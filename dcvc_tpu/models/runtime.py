@@ -1,0 +1,159 @@
+"""Codec runtimes: device (jit) compute + host rANS entropy coding.
+
+This is the layer the reference spreads across CompressionModel.update /
+compress / decompress (DCVC-DC/src/models/common_model.py:63-68,
+image_model.py:198-252). TPU-first split: all CNN work runs in a handful of
+jitted functions; only int16 symbol planes and scale-index planes cross the
+host boundary; the serial rANS loop runs in native code between jitted steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.bit_estimator import (
+    build_factorized_tables,
+    decode_factorized,
+    encode_factorized,
+)
+from ..entropy.coder import EntropyCoder
+from ..entropy.gaussian import GaussianConditionalCoder
+from ..ops.warp import get_downsampled_shape
+from . import priors
+
+
+class _RuntimeBase:
+    """Shared machinery: entropy coder + baked tables."""
+
+    y_distribution = "gaussian"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        self.module = module
+        self.params = params
+        self.ec_thread = ec_thread
+        self.stream_part = stream_part
+        self.entropy_coder: EntropyCoder | None = None
+        self.gaussian: GaussianConditionalCoder | None = None
+        self._z_tables = {}
+
+    def _bit_estimator_params(self, name: str):
+        return {"params": self.params["params"][name]}
+
+    def update(self, force: bool = False):
+        if self.entropy_coder is not None and not force:
+            return
+        self.entropy_coder = EntropyCoder(self.ec_thread, self.stream_part)
+        self.gaussian = GaussianConditionalCoder(distribution=self.y_distribution)
+        self.gaussian.update(force=True)
+        for name, channels in self._z_estimators():
+            self._z_tables[name] = build_factorized_tables(
+                self._bit_estimator_params(name), channels)
+
+    def _z_estimators(self):
+        raise NotImplementedError
+
+    # host-side helpers -----------------------------------------------------
+
+    def _encode_z(self, name, z_hat):
+        encode_factorized(self.entropy_coder, np.asarray(z_hat),
+                          self._z_tables[name])
+
+    def _decode_z(self, name, shape_nhwc):
+        return decode_factorized(self.entropy_coder, shape_nhwc,
+                                 self._z_tables[name])
+
+    def _encode_y_plane(self, y_q, indexes):
+        self.gaussian.encode_with_indexes(self.entropy_coder,
+                                          np.asarray(y_q), np.asarray(indexes))
+
+    def _decode_y_plane(self, indexes) -> np.ndarray:
+        return self.gaussian.decode_with_indexes(self.entropy_coder,
+                                                 np.asarray(indexes))
+
+
+class EvcCodecRuntime(_RuntimeBase):
+    """Runtime for the EVC intra family (dual-part checkerboard prior).
+
+    Parity: EVC/src/models/image_model.py:131-181 compress/decompress.
+    """
+
+    y_distribution = "gaussian"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        super().__init__(module, params, ec_thread, stream_part)
+        m = module
+        mt = type(module)
+
+        self._fwd = jax.jit(
+            lambda p, x, q: m.apply(p, x, q),
+        )
+        self._compress_dev = jax.jit(
+            lambda p, x, q: m.apply(p, x, q, method=mt.compress_device))
+        self._prior = jax.jit(
+            lambda p, z: m.apply(p, z, method=mt.prior_params))
+        self._scales1 = jax.jit(
+            lambda p, qs, s, mu, h0, h1: m.apply(
+                p, qs, s, mu, h0, h1, method=mt.dual_scales_step1))
+        self._scales0 = jax.jit(
+            lambda qs, s, mu: priors.dual_decode_scales(mu, s, qs, None, None,
+                                                        None, 0))
+        self._update0 = jax.jit(
+            lambda yq, m0, m1: priors.dual_decode_update(
+                yq, (m0, m1), yq.shape[1], yq.shape[2], 0, yq.dtype))
+        self._update1 = jax.jit(
+            lambda yq, m0, m1: priors.dual_decode_update(
+                yq, (m0, m1), yq.shape[1], yq.shape[2], 1, yq.dtype))
+
+        def _synth(p, h0, h1, q_step, q_scale):
+            y_hat = jnp.concatenate([h0, h1], axis=-1) * jnp.maximum(q_step, 0.5)
+            x_hat = m.apply(p, y_hat, q_scale, method=mt.synthesize)
+            return jnp.clip(x_hat, 0.0, 1.0)
+
+        self._synth = jax.jit(_synth)
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        self._indexes = jax.jit(_g.build_indexes)
+
+    def _z_estimators(self):
+        return [("bit_estimator_z", self.module.N)]
+
+    def forward(self, x, q_scale):
+        return self._fwd(self.params, jnp.asarray(x), jnp.asarray(q_scale))
+
+    def compress(self, x, q_scale):
+        out = self._compress_dev(self.params, jnp.asarray(x), jnp.asarray(q_scale))
+        idx0 = self._indexes(out["scales_planes"][0])
+        idx1 = self._indexes(out["scales_planes"][1])
+
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z", out["z_hat"])
+        self._encode_y_plane(out["y_q_planes"][0], idx0)
+        self._encode_y_plane(out["y_q_planes"][1], idx1)
+        self.entropy_coder.flush()
+        return {
+            "bit_stream": self.entropy_coder.get_encoded_stream(),
+            "x_hat": out["x_hat"],
+        }
+
+    def decompress(self, bit_stream, height, width, q_scale):
+        q_scale = jnp.asarray(q_scale)
+        self.entropy_coder.set_stream(bit_stream)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z",
+                                           (1, zh, zw, self.module.N)))
+        q_step, scales, means = self._prior(self.params, z_hat)
+
+        scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
+        y_q_r0 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r0))
+                             .reshape(scales_r0.shape))
+        h0, h1 = self._update0(y_q_r0, m0, m1)
+
+        scales_r1, (m0, m1) = self._scales1(self.params, q_step, scales, means,
+                                            h0, h1)
+        y_q_r1 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r1))
+                             .reshape(scales_r1.shape))
+        d0, d1 = self._update1(y_q_r1, m0, m1)
+
+        x_hat = self._synth(self.params, h0 + d0, h1 + d1, q_step, q_scale)
+        return {"x_hat": x_hat}
