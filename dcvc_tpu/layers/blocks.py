@@ -20,10 +20,17 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.01) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
+# torch nn.Conv2d default init (kaiming_uniform, a=sqrt(5)): var = 1/(3*fan_in).
+# Matches the reference's effective init and keeps the gated ConvFFN2 blocks
+# numerically bounded at initialization.
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 def conv(features: int, kernel: int = 3, stride: int = 1, name: str | None = None,
          dtype=None) -> nn.Conv:
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(kernel // 2, kernel // 2)] * 2, name=name, dtype=dtype)
+                   padding=[(kernel // 2, kernel // 2)] * 2, name=name, dtype=dtype,
+                   kernel_init=conv_kernel_init)
 
 
 class SubpelConv(nn.Module):
@@ -129,7 +136,7 @@ class DepthConv(nn.Module):
         in_ch = x.shape[-1]
         if self.stride != 1:
             identity = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
-                               name="adaptor", dtype=self.dtype)(x)
+                               name="adaptor", dtype=self.dtype, kernel_init=conv_kernel_init)(x)
         elif in_ch != self.out_ch:
             identity = conv(self.out_ch, 1, 1, name="adaptor", dtype=self.dtype)(x)
         else:
@@ -139,7 +146,7 @@ class DepthConv(nn.Module):
         k = self.depth_kernel
         out = nn.Conv(in_ch, (k, k), padding=[(k // 2, k // 2)] * 2,
                       feature_group_count=in_ch, name="depth_conv",
-                      dtype=self.dtype)(out)
+                      dtype=self.dtype, kernel_init=conv_kernel_init)(out)
         out = conv(self.out_ch, 1, 1, name="conv2", dtype=self.dtype)(out)
         return out + identity
 

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import SubpelConv, conv, leaky_relu
+from .blocks import SubpelConv, conv, conv_kernel_init, leaky_relu
 
 
 class EvcDepthConv(nn.Module):
@@ -26,7 +26,7 @@ class EvcDepthConv(nn.Module):
         in_ch = x.shape[-1]
         if self.stride != 1:
             identity = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
-                               name="adaptor", dtype=self.dtype)(x)
+                               name="adaptor", dtype=self.dtype, kernel_init=conv_kernel_init)(x)
         elif in_ch != self.out_ch:
             identity = conv(self.out_ch, 1, 1, name="adaptor", dtype=self.dtype)(x)
         else:
@@ -36,7 +36,7 @@ class EvcDepthConv(nn.Module):
         k = self.depth_kernel
         out = nn.Conv(in_ch, (k, k), padding=[(k // 2, k // 2)] * 2,
                       feature_group_count=in_ch, name="depth_conv",
-                      dtype=self.dtype)(out)
+                      dtype=self.dtype, kernel_init=conv_kernel_init)(out)
         out = leaky_relu(out)
         out = conv(self.out_ch, 1, 1, name="conv2", dtype=self.dtype)(out)
         out = leaky_relu(out)

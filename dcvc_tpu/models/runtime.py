@@ -157,3 +157,93 @@ class EvcCodecRuntime(_RuntimeBase):
 
         x_hat = self._synth(self.params, h0 + d0, h1 + d1, q_step, q_scale)
         return {"x_hat": x_hat}
+
+
+class IntraDcRuntime(_RuntimeBase):
+    """Runtime for IntraNoAR (DCVC-DC generation, four-part prior).
+
+    Parity: DCVC-DC/src/models/image_model.py:169-252 encode_decode /
+    compress / decompress with q_in_ckpt / q_index (0..63 fine table).
+    """
+
+    y_distribution = "gaussian"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        super().__init__(module, params, ec_thread, stream_part)
+        m, mt = module, type(module)
+
+        self._fwd = jax.jit(lambda p, x, qe, qd: m.apply(p, x, qe, qd))
+        self._compress_dev = jax.jit(
+            lambda p, x, qe, qd: m.apply(p, x, qe, qd, method=mt.compress_device))
+        self._prior = jax.jit(
+            lambda p, z, yh, yw: m.apply(p, z, yh, yw, method=mt.decode_prior),
+            static_argnums=(2, 3))
+        self._scales_step = jax.jit(
+            lambda p, pr, sofar, step: m.apply(p, pr, sofar, step,
+                                               method=mt.decode_scales_step),
+            static_argnums=(3,))
+        self._update_step = jax.jit(
+            lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
+                pr, sofar, yq, mp, step), static_argnums=(4,))
+        self._synth = jax.jit(
+            lambda p, pr, sofar, qd: m.apply(p, pr, sofar, qd,
+                                             method=mt.decode_synthesis))
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        self._indexes = jax.jit(_g.build_indexes)
+
+        # fine q tables are derived from the anchor q_scale params at load
+        from .intra_dc import build_fine_q_tables
+        p = params["params"]
+        self.q_scale_enc_fine = build_fine_q_tables(np.asarray(p["q_scale_enc"]))
+        self.q_scale_dec_fine = build_fine_q_tables(np.asarray(p["q_scale_dec"]))
+
+    def _z_estimators(self):
+        return [("bit_estimator_z", self.module.N)]
+
+    def get_q_for_inference(self, q_in_ckpt: bool, q_index: int):
+        p = self.params["params"]
+        if q_in_ckpt:
+            qe = np.asarray(p["q_scale_enc"]).reshape(-1)[q_index]
+            qd = np.asarray(p["q_scale_dec"]).reshape(-1)[q_index]
+        else:
+            qe = self.q_scale_enc_fine[q_index]
+            qd = self.q_scale_dec_fine[q_index]
+        return jnp.asarray(qe, jnp.float32), jnp.asarray(qd, jnp.float32)
+
+    def forward(self, x, q_in_ckpt: bool = False, q_index: int = 0):
+        qe, qd = self.get_q_for_inference(q_in_ckpt, q_index)
+        return self._fwd(self.params, jnp.asarray(x), qe, qd)
+
+    def compress(self, x, q_in_ckpt: bool, q_index: int):
+        qe, qd = self.get_q_for_inference(q_in_ckpt, q_index)
+        out = self._compress_dev(self.params, jnp.asarray(x), qe, qd)
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z", out["z_hat"])
+        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        self.entropy_coder.flush()
+        return {
+            "bit_stream": self.entropy_coder.get_encoded_stream(),
+            "x_hat": out["x_hat"],
+        }
+
+    def decompress(self, bit_stream, height, width, q_in_ckpt: bool, q_index: int):
+        _, qd = self.get_q_for_inference(q_in_ckpt, q_index)
+        self.entropy_coder.set_stream(bit_stream)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        yh, yw = get_downsampled_shape(height, width, 16)
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z",
+                                           (1, zh, zw, self.module.N)))
+        params = self._prior(self.params, z_hat, yh, yw)
+
+        so_far = jnp.zeros((1, yh, yw, self.module.N), params.dtype)
+        for step in range(4):
+            scales_r, means_parts = self._scales_step(self.params, params,
+                                                      so_far, step)
+            y_q_r = jnp.asarray(
+                self._decode_y_plane(self._indexes(scales_r))
+                .reshape(scales_r.shape))
+            so_far = self._update_step(params, so_far, y_q_r,
+                                       tuple(means_parts), step)
+        x_hat = self._synth(self.params, params, so_far, qd)
+        return {"x_hat": x_hat}
