@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: DCVC-DC (DMC) 1080p encode+decode frames/s per chip.
+
+Runs the flagship P-frame codec in estimated-bits mode (the reference's
+write_stream=0 path, DCVC-DC/test_video.py) at 1080p on the available
+accelerator and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is measured fps / reference GPU fps. No GPU fps figure is
+published in-repo (BASELINE.md); external context for DCVC-DC on A100-era
+GPUs is ~0.7 fps for encode+decode at 1080p RGB (~0.8 s enc + 0.6 s dec per
+frame) — used as the provisional denominator until a measured reference
+number is recorded.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dcvc_tpu.models.video_dc import DMC
+
+REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
+
+
+def main():
+    H, W = 1088, 1920  # 1080p padded to /16
+    module = DMC()
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    dpb0 = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
+            "ref_y": None, "ref_mv_y": None}
+    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+
+    params = module.init(jax.random.PRNGKey(0), x, dpb0, qs, 0)
+
+    @jax.jit
+    def p_frame(p, x, dpb, qs):
+        out = module.apply(p, x, dpb, qs, 1)
+        return out["dpb"], out["bit"]
+
+    key = jax.random.PRNGKey(1)
+    frame = jax.random.uniform(key, (1, H, W, 3), jnp.float32)
+
+    # build steady-state dpb (all entries present), then time
+    dpb, _ = p_frame(params, frame, dpb0, qs)
+    jax.block_until_ready(dpb)
+
+    n_warm, n_iter = 2, 8
+    for _ in range(n_warm):
+        dpb2, bit = p_frame(params, frame, dpb, qs)
+        jax.block_until_ready(dpb2)
+
+    t0 = time.time()
+    cur = dpb
+    for _ in range(n_iter):
+        cur, bit = p_frame(params, frame, cur, qs)
+    jax.block_until_ready(cur)
+    dt = (time.time() - t0) / n_iter
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "dcvc_dc_1080p_p_frame_encdec",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,247 @@ class EvcCodecRuntime(_RuntimeBase):
         return {"x_hat": x_hat}
 
 
+class HemVideoRuntime(_RuntimeBase):
+    """Runtime for DMCHem (dual-part checkerboard priors on both latents).
+
+    Parity: DCVC-HEM/src/models/video_model.py:263-375 compress/decompress.
+    Stream order: z_mv, mv_y w0, mv_y w1, z, y w0, y w1 (:306-313).
+    """
+
+    y_distribution = "laplace"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        super().__init__(module, params, ec_thread, stream_part)
+        m, mt = module, type(module)
+
+        self._fwd = jax.jit(
+            lambda p, x, dpb, mvq, yq: m.apply(p, x, dpb, mvq, yq))
+        self._compress_dev = jax.jit(
+            lambda p, x, dpb, mvq, yq: m.apply(p, x, dpb, mvq, yq,
+                                               method=mt.compress_device))
+        self._mv_prior = jax.jit(
+            lambda p, z, refmv, yh, yw: m.apply(p, z, refmv, yh, yw,
+                                                method=mt.decode_mv_prior),
+            static_argnums=(3, 4))
+        self._scales0 = jax.jit(
+            lambda qs, s, mu: priors.dual_decode_scales(mu, s, qs, None, None,
+                                                        None, 0))
+        self._mv_scales1 = jax.jit(
+            lambda p, qs, s, mu, h0, h1: m.apply(
+                p, qs, s, mu, h0, h1, method=mt.mv_dual_scales_step1))
+        self._y_scales1 = jax.jit(
+            lambda p, qs, s, mu, h0, h1: m.apply(
+                p, qs, s, mu, h0, h1, method=mt.y_dual_scales_step1))
+        self._update = {
+            step: jax.jit(lambda yq, m0, m1, _s=step: priors.dual_decode_update(
+                yq, (m0, m1), yq.shape[1], yq.shape[2], _s, yq.dtype))
+            for step in (0, 1)}
+        self._finalize = jax.jit(
+            lambda qs, h0, h1: jnp.concatenate([h0, h1], axis=-1)
+            * jnp.maximum(qs, 0.5))
+        self._motion_stage = jax.jit(
+            lambda p, mvy, mvq, dpb, z, yh, yw: m.apply(
+                p, mvy, mvq, dpb, z, yh, yw, method=mt.decode_motion_stage),
+            static_argnums=(5, 6))
+        self._recon_stage = jax.jit(
+            lambda p, yhat, yq, ctx: m.apply(p, yhat, yq, ctx,
+                                             method=mt.decode_recon_stage))
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        self._indexes = jax.jit(_g.build_indexes)
+
+    def _z_estimators(self):
+        return [("bit_estimator_z", self.module.channel_N),
+                ("bit_estimator_z_mv", self.module.channel_N)]
+
+    def forward_one_frame(self, x, dpb, mv_y_q_scale, y_q_scale):
+        return self._fwd(self.params, jnp.asarray(x), dpb,
+                         jnp.asarray(mv_y_q_scale, jnp.float32),
+                         jnp.asarray(y_q_scale, jnp.float32))
+
+    def _dual_decode(self, qsm, scales1_fn):
+        q_step, scales, means = qsm
+        scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
+        y_q_r0 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r0))
+                             .reshape(scales_r0.shape))
+        h0, h1 = self._update[0](y_q_r0, m0, m1)
+        scales_r1, (m0, m1) = scales1_fn(self.params, q_step, scales, means,
+                                         h0, h1)
+        y_q_r1 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r1))
+                             .reshape(scales_r1.shape))
+        d0, d1 = self._update[1](y_q_r1, m0, m1)
+        return self._finalize(q_step, h0 + d0, h1 + d1)
+
+    def compress(self, x, dpb, mv_y_q_scale, y_q_scale):
+        out = self._compress_dev(self.params, jnp.asarray(x), dpb,
+                                 jnp.asarray(mv_y_q_scale, jnp.float32),
+                                 jnp.asarray(y_q_scale, jnp.float32))
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
+        for y_q, s in zip(out["mv_y_q_planes"], out["mv_scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        self._encode_z("bit_estimator_z", out["z_hat"])
+        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        self.entropy_coder.flush()
+        return {"dpb": out["dpb"],
+                "bit_stream": self.entropy_coder.get_encoded_stream()}
+
+    def decompress(self, dpb, string, height, width, mv_y_q_scale, y_q_scale):
+        mv_q = jnp.asarray(mv_y_q_scale, jnp.float32)
+        y_q = jnp.asarray(y_q_scale, jnp.float32)
+        self.entropy_coder.set_stream(string)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        yh, yw = get_downsampled_shape(height, width, 16)
+        N = self.module.channel_N
+
+        mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",
+                                              (1, zh, zw, N)))
+        mv_qsm = self._mv_prior(self.params, mv_z_hat, dpb["ref_mv_y"], yh, yw)
+        mv_y_hat = self._dual_decode(mv_qsm, self._mv_scales1)
+
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z", (1, zh, zw, N)))
+        y_qsm, contexts, mv_y_hat_scaled = self._motion_stage(
+            self.params, mv_y_hat, mv_q, dpb, z_hat, yh, yw)
+        y_hat = self._dual_decode(y_qsm, self._y_scales1)
+        x_hat, feature, y_hat_scaled = self._recon_stage(self.params, y_hat,
+                                                         y_q, contexts)
+        return {"dpb": {
+            "ref_frame": x_hat,
+            "ref_feature": feature,
+            "ref_y": y_hat_scaled,
+            "ref_mv_y": mv_y_hat_scaled,
+        }}
+
+
+class DmcRuntime(_RuntimeBase):
+    """Runtime for DMC (DCVC-DC P-frame codec, dual four-part priors).
+
+    Parity: DCVC-DC/src/models/video_model.py:425-557 compress / decompress /
+    encode_decode. Encode order: z_mv, z, mv_y w0..3, y w0..3 (:455-466).
+    """
+
+    y_distribution = "laplace"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        super().__init__(module, params, ec_thread, stream_part)
+        m, mt = module, type(module)
+
+        self._fwd = jax.jit(
+            lambda p, x, dpb, qs, fi: m.apply(p, x, dpb, qs, fi),
+            static_argnums=(4,))
+        self._compress_dev = jax.jit(
+            lambda p, x, dpb, qs, fi: m.apply(p, x, dpb, qs, fi,
+                                              method=mt.compress_device),
+            static_argnums=(4,))
+        self._mv_prior = jax.jit(
+            lambda p, z, refmv, yh, yw: m.apply(p, z, refmv, yh, yw,
+                                                method=mt.decode_mv_prior),
+            static_argnums=(3, 4))
+        self._scales_step = jax.jit(
+            lambda p, pr, sofar, step, which: m.apply(
+                p, pr, sofar, step, which, method=mt.decode_scales_step),
+            static_argnums=(3, 4))
+        self._update_step = jax.jit(
+            lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
+                pr, sofar, yq, mp, step), static_argnums=(4,))
+        self._motion_stage = jax.jit(
+            lambda p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw: m.apply(
+                p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw,
+                method=mt.decode_motion_stage),
+            static_argnums=(6, 7, 8))
+        self._recon_stage = jax.jit(
+            lambda p, pr, sofar, ctx, yqd: m.apply(
+                p, pr, sofar, ctx, yqd, method=mt.decode_recon_stage))
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        self._indexes = jax.jit(_g.build_indexes)
+
+        from .video_dc import get_dmc_q_tables
+        self.fine_q = get_dmc_q_tables(params)
+
+    def _z_estimators(self):
+        from .video_dc import G_CH
+        return [("bit_estimator_z", G_CH["16x"]), ("bit_estimator_z_mv", 64)]
+
+    def get_q_for_inference(self, q_in_ckpt: bool, q_index: int) -> dict:
+        p = self.params["params"]
+        names = {"mv_enc": "mv_y_q_scale_enc", "mv_dec": "mv_y_q_scale_dec",
+                 "y_enc": "y_q_scale_enc", "y_dec": "y_q_scale_dec"}
+        out = {}
+        for k, n in names.items():
+            if q_in_ckpt:
+                out[k] = jnp.asarray(np.asarray(p[n]).reshape(-1)[q_index],
+                                     jnp.float32)
+            else:
+                out[k] = jnp.asarray(self.fine_q[n][q_index], jnp.float32)
+        return out
+
+    def forward_one_frame(self, x, dpb, q_in_ckpt=False, q_index=0, frame_idx=0):
+        qs = self.get_q_for_inference(q_in_ckpt, q_index)
+        return self._fwd(self.params, jnp.asarray(x), dpb, qs, frame_idx % 4)
+
+    def compress(self, x, dpb, q_in_ckpt: bool, q_index: int, frame_idx: int):
+        qs = self.get_q_for_inference(q_in_ckpt, q_index)
+        out = self._compress_dev(self.params, jnp.asarray(x), dpb, qs,
+                                 frame_idx % 4)
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
+        self._encode_z("bit_estimator_z", out["z_hat"])
+        for y_q, s in zip(out["mv_y_q_planes"], out["mv_scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        self.entropy_coder.flush()
+        return {
+            "dpb": out["dpb"],
+            "bit_stream": self.entropy_coder.get_encoded_stream(),
+        }
+
+    def _decode_four_part(self, params, channels: int, which: str):
+        B, yh, yw = params.shape[0], params.shape[1], params.shape[2]
+        so_far = jnp.zeros((B, yh, yw, channels), params.dtype)
+        for step in range(4):
+            scales_r, means_parts = self._scales_step(self.params, params,
+                                                      so_far, step, which)
+            y_q_r = jnp.asarray(
+                self._decode_y_plane(self._indexes(scales_r))
+                .reshape(scales_r.shape))
+            so_far = self._update_step(params, so_far, y_q_r,
+                                       tuple(means_parts), step)
+        return so_far
+
+    def decompress(self, dpb, string, height, width, q_in_ckpt: bool,
+                   q_index: int, frame_idx: int):
+        from .video_dc import G_CH
+
+        qs = self.get_q_for_inference(q_in_ckpt, q_index)
+        self.entropy_coder.set_stream(string)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        yh, yw = get_downsampled_shape(height, width, 16)
+        mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",
+                                              (1, zh, zw, 64)))
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z",
+                                           (1, zh, zw, G_CH["16x"])))
+
+        mv_params = self._mv_prior(self.params, mv_z_hat, dpb["ref_mv_y"],
+                                   yh, yw)
+        mv_sofar = self._decode_four_part(mv_params, 64, "mv")
+        y_params, contexts, mv_y_hat, mv_feature = self._motion_stage(
+            self.params, mv_params, mv_sofar, qs["mv_dec"], dpb, z_hat,
+            frame_idx % 4, yh, yw)
+        y_sofar = self._decode_four_part(y_params, G_CH["16x"], "y")
+        x_hat, feature, y_hat = self._recon_stage(self.params, y_params,
+                                                  y_sofar, contexts, qs["y_dec"])
+        return {
+            "dpb": {
+                "ref_frame": x_hat,
+                "ref_feature": feature,
+                "ref_mv_feature": mv_feature,
+                "ref_y": y_hat,
+                "ref_mv_y": mv_y_hat,
+            },
+        }
+
+
 class IntraDcRuntime(_RuntimeBase):
     """Runtime for IntraNoAR (DCVC-DC generation, four-part prior).
 

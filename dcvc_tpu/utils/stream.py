@@ -1,0 +1,111 @@
+"""Bitstream file containers + checkpoint loading helpers.
+
+Parity target: DCVC-DC/src/utils/stream_helper.py:94-139 (I/P headers with
+q_in_ckpt flag + 6-bit q_index), DCVC-HEM stream_helper (ushort rounded
+q_scale), and get_state_dict's flexible checkpoint unwrapping (:40-47).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def filesize(filepath: str) -> int:
+    return Path(filepath).stat().st_size
+
+
+def get_rounded_q(q_scale: float):
+    """Quantize q_scale to 1/100 into a ushort (HEM stream_helper.py:41-45)."""
+    q_scale = float(np.clip(q_scale, 0.01, 655.0))
+    q_index = int(round(q_scale * 100))
+    return q_index / 100, q_index
+
+
+# -- DCVC-DC style: q_in_ckpt flag + 6-bit q_index -------------------------
+
+def encode_i(height, width, q_in_ckpt, q_index, bit_stream, output):
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">2I", height, width))
+        f.write(struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1)))
+        f.write(struct.pack(">I", len(bit_stream)))
+        f.write(bit_stream)
+
+
+def decode_i(inputpath):
+    with Path(inputpath).open("rb") as f:
+        height, width = struct.unpack(">2I", f.read(8))
+        flag = struct.unpack(">B", f.read(1))[0]
+        q_in_ckpt = (flag >> 7) > 0
+        q_index = (flag & 0x7F) >> 1
+        length = struct.unpack(">I", f.read(4))[0]
+        bit_stream = f.read(length)
+    return height, width, q_in_ckpt, q_index, bit_stream
+
+
+def encode_p(string, q_in_ckpt, q_index, frame_idx, output):
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1)))
+        f.write(struct.pack(">B", frame_idx))
+        f.write(struct.pack(">I", len(string)))
+        f.write(string)
+
+
+def decode_p(inputpath):
+    with Path(inputpath).open("rb") as f:
+        flag = struct.unpack(">B", f.read(1))[0]
+        q_in_ckpt = (flag >> 7) > 0
+        q_index = (flag & 0x7F) >> 1
+        frame_idx = struct.unpack(">B", f.read(1))[0]
+        length = struct.unpack(">I", f.read(4))[0]
+        string = f.read(length)
+    return q_in_ckpt, q_index, frame_idx, string
+
+
+# -- HEM/EVC style: rounded-q ushort in the header --------------------------
+
+def encode_i_ushort_q(height, width, q_index, bit_stream, output):
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">2I", height, width))
+        f.write(struct.pack(">H", q_index))
+        f.write(struct.pack(">I", len(bit_stream)))
+        f.write(bit_stream)
+
+
+def decode_i_ushort_q(inputpath):
+    with Path(inputpath).open("rb") as f:
+        height, width = struct.unpack(">2I", f.read(8))
+        q_index = struct.unpack(">H", f.read(2))[0]
+        length = struct.unpack(">I", f.read(4))[0]
+        bit_stream = f.read(length)
+    return height, width, q_index, bit_stream
+
+
+def encode_p_ushort_q(string, y_q_index, mv_y_q_index, output):
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">2H", y_q_index, mv_y_q_index))
+        f.write(struct.pack(">I", len(string)))
+        f.write(string)
+
+
+def decode_p_ushort_q(inputpath):
+    with Path(inputpath).open("rb") as f:
+        y_q_index, mv_y_q_index = struct.unpack(">2H", f.read(4))
+        length = struct.unpack(">I", f.read(4))[0]
+        string = f.read(length)
+    return y_q_index, mv_y_q_index, string
+
+
+def get_state_dict(ckpt_path: str) -> dict:
+    """Load a (torch) checkpoint into a flat numpy state dict."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    if "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if "net" in ckpt:
+        ckpt = ckpt["net"]
+    return {k.removeprefix("module."): v.numpy() if hasattr(v, "numpy") else v
+            for k, v in ckpt.items()}
