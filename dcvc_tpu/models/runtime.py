@@ -159,6 +159,72 @@ class EvcCodecRuntime(_RuntimeBase):
         return {"x_hat": x_hat}
 
 
+class TcmVideoRuntime(_RuntimeBase):
+    """Runtime for DMCTcm (no spatial AR — single-shot latent coding).
+
+    Parity: DCVC-TCM/src/models/video_net_dmc.py:321-415 compress/decompress.
+    Stream order: z_mv, mv_y, z, y (:321-341).
+    """
+
+    y_distribution = "laplace"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        super().__init__(module, params, ec_thread, stream_part)
+        m, mt = module, type(module)
+        self._fwd = jax.jit(lambda p, x, rf, rfe: m.apply(p, x, rf, rfe))
+        self._compress_dev = jax.jit(
+            lambda p, x, rf, rfe: m.apply(p, x, rf, rfe,
+                                          method=mt.compress_device))
+        self._mv_params = jax.jit(
+            lambda p, z: m.apply(p, z, method=mt.decode_mv_params))
+        self._motion_stage = jax.jit(
+            lambda p, mvy, rf, rfe, z: m.apply(p, mvy, rf, rfe, z,
+                                               method=mt.decode_motion_stage))
+        self._recon_stage = jax.jit(
+            lambda p, yh, ctx: m.apply(p, yh, ctx, method=mt.decode_recon_stage))
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        self._indexes = jax.jit(_g.build_indexes)
+
+    def _z_estimators(self):
+        return [("bit_estimator_z", self.module.channel_N),
+                ("bit_estimator_z_mv", self.module.channel_N)]
+
+    def forward_one_frame(self, x, ref_frame, ref_feature):
+        return self._fwd(self.params, jnp.asarray(x), ref_frame, ref_feature)
+
+    def compress(self, x, ref_frame, ref_feature):
+        out = self._compress_dev(self.params, jnp.asarray(x), ref_frame,
+                                 ref_feature)
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
+        self._encode_y_plane(out["mv_y_q"], self._indexes(out["mv_scales"]))
+        self._encode_z("bit_estimator_z", out["z_hat"])
+        self._encode_y_plane(out["y_q"], self._indexes(out["scales"]))
+        self.entropy_coder.flush()
+        return {"bit_stream": self.entropy_coder.get_encoded_stream(),
+                "x_hat": out["x_hat"], "feature": out["feature"]}
+
+    def decompress(self, ref_frame, ref_feature, string, height, width):
+        self.entropy_coder.set_stream(string)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        N = self.module.channel_N
+        mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",
+                                              (1, zh, zw, N)))
+        mv_scales, mv_means = self._mv_params(self.params, mv_z_hat)
+        mv_y_q = jnp.asarray(self._decode_y_plane(self._indexes(mv_scales))
+                             .reshape(mv_scales.shape))
+        mv_y_hat = mv_y_q + mv_means
+
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z", (1, zh, zw, N)))
+        scales, means, contexts = self._motion_stage(self.params, mv_y_hat,
+                                                     ref_frame, ref_feature,
+                                                     z_hat)
+        y_q = jnp.asarray(self._decode_y_plane(self._indexes(scales))
+                          .reshape(scales.shape))
+        x_hat, feature = self._recon_stage(self.params, y_q + means, contexts)
+        return {"x_hat": x_hat, "feature": feature}
+
+
 class HemVideoRuntime(_RuntimeBase):
     """Runtime for DMCHem (dual-part checkerboard priors on both latents).
 
