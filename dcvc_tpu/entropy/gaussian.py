@@ -91,6 +91,12 @@ class GaussianConditionalCoder:
         idx = jnp.clip(idx, 0, self.scale_level - 1)
         return idx.astype(jnp.int32)  # truncation toward zero, matches .int()
 
+    def build_indexes_np(self, scales: np.ndarray) -> np.ndarray:
+        """Host-side build_indexes (identical bucketing, numpy)."""
+        scales = np.maximum(scales, 1e-5)
+        idx = (np.log(scales) - self.log_scale_min) / self.log_scale_step
+        return np.clip(idx, 0, self.scale_level - 1).astype(np.int32)
+
     def encode(self, coder: EntropyCoder, y_q, scales):
         indexes = np.asarray(self.build_indexes(jnp.asarray(scales)))
         coder.encode_with_indexes(np.asarray(y_q).reshape(-1),

@@ -102,18 +102,20 @@ class ResidualBlock(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """Pre-activation residual block (video_net.py:58-76)."""
+    """Pre-activation residual block (video_net.py:58-76; the HEM/TCM variant
+    adds start_from_relu, DCVC-HEM/src/models/video_net.py:74-96)."""
 
     channel: int
     slope: float = 0.01
     end_with_relu: bool = False
     bottleneck: bool = False
+    start_from_relu: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         inner = self.channel // 2 if self.bottleneck else self.channel
-        out = leaky_relu(x, self.slope)
+        out = leaky_relu(x, self.slope) if self.start_from_relu else x
         out = conv(inner, 3, 1, name="conv1", dtype=self.dtype)(out)
         out = leaky_relu(out, self.slope)
         out = conv(self.channel, 3, 1, name="conv2", dtype=self.dtype)(out)

@@ -159,6 +159,133 @@ class EvcCodecRuntime(_RuntimeBase):
         return {"x_hat": x_hat}
 
 
+class DcvcGen1Runtime(_RuntimeBase):
+    """Runtime for DCVCNet (gen-1): hyper + pixel-AR entropy models.
+
+    Parity: DCVC/src/models/DCVC_net.py:234-420 compress/decompress with four
+    separate substreams (mv_z, mv_y, z, y). The AR loops run as host
+    wavefronts (ar_coding.py); AR substreams use stream_part=1 by
+    construction (symbol order must match between encode and decode).
+    """
+
+    y_distribution = "laplace"
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        # AR interleaving requires a single-part stream
+        super().__init__(module, params, ec_thread, stream_part=1)
+        m, mt = module, type(module)
+        self._fwd = jax.jit(lambda p, ref, x: m.apply(p, ref, x))
+        self._enc_analysis = jax.jit(
+            lambda p, ref, x: m.apply(p, ref, x, method=mt.encode_analysis))
+        self._motion_ctx = jax.jit(
+            lambda p, ref, mvy: m.apply(p, ref, mvy,
+                                        method=mt.motion_and_context))
+        self._res_analysis = jax.jit(
+            lambda p, x, ctx: m.apply(p, x, ctx, method=mt.residual_analysis))
+        self._mv_prior_dec = jax.jit(
+            lambda p, z: m.apply(p, z, method=mt.mv_prior_decoder))
+        self._prior_dec = jax.jit(
+            lambda p, z: m.apply(p, z, method=mt.prior_decoder))
+        self._synth = jax.jit(
+            lambda p, yh, ctx: m.apply(p, yh, ctx, method=mt.synthesis))
+        self._ar_nets = None
+
+    def _z_estimators(self):
+        return [("bit_estimator_z", self.module.channel_N),
+                ("bit_estimator_z_mv", self.module.channel_N)]
+
+    def update(self, force: bool = False):
+        super().update(force)
+        from .video_dcvc import extract_ar_nets
+
+        if self._ar_nets is None or force:
+            self._ar_nets = {w: extract_ar_nets(self.params, w)
+                             for w in ("mv", "y")}
+
+    def forward(self, referframe, input_image):
+        return self._fwd(self.params, jnp.asarray(referframe),
+                         jnp.asarray(input_image))
+
+    def _flush_stream(self) -> bytes:
+        self.entropy_coder.flush()
+        return self.entropy_coder.get_encoded_stream()
+
+    def compress(self, referframe, input_image):
+        from .ar_coding import ar_encode
+
+        ref = jnp.asarray(referframe)
+        x = jnp.asarray(input_image)
+        mv_feature, mv_z_hat, params_mv = self._enc_analysis(self.params, ref, x)
+
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z_mv", mv_z_hat)
+        mv_z_string = self._flush_stream()
+
+        self.entropy_coder.reset()
+        mv_y_hat = ar_encode(np.asarray(mv_feature[0]),
+                             np.asarray(params_mv[0]), self._ar_nets["mv"],
+                             self.gaussian, self.entropy_coder)
+        mv_y_string = self._flush_stream()
+
+        mv_y_hat = jnp.asarray(mv_y_hat[None], jnp.float32)
+        context, temporal = self._motion_ctx(self.params, ref, mv_y_hat)
+        y, z_hat, hyper = self._res_analysis(self.params, x, context)
+
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z", z_hat)
+        z_string = self._flush_stream()
+
+        self.entropy_coder.reset()
+        y_hyper = np.concatenate([np.asarray(temporal[0]), np.asarray(hyper[0])],
+                                 axis=-1)
+        y_hat = ar_encode(np.asarray(y[0]), y_hyper, self._ar_nets["y"],
+                          self.gaussian, self.entropy_coder)
+        y_string = self._flush_stream()
+
+        recon = self._synth(self.params, jnp.asarray(y_hat[None], jnp.float32),
+                            context)
+        return {
+            "mv_z_string": mv_z_string, "mv_y_string": mv_y_string,
+            "z_string": z_string, "y_string": y_string,
+            "recon_image": recon,
+        }
+
+    def decompress(self, referframe, mv_y_string, mv_z_string, y_string,
+                   z_string, height, width):
+        from .ar_coding import ar_decode
+
+        ref = jnp.asarray(referframe)
+        zh, zw = get_downsampled_shape(height, width, 64)
+        yh, yw = get_downsampled_shape(height, width, 16)
+        N = self.module.channel_N
+
+        self.entropy_coder.set_stream(mv_z_string)
+        mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",
+                                              (1, zh, zw, N)))
+        params_mv = self._mv_prior_dec(self.params, mv_z_hat)
+
+        self.entropy_coder.set_stream(mv_y_string)
+        mv_y_hat = ar_decode((yh, yw, self.module.channel_mv),
+                             np.asarray(params_mv[0]), self._ar_nets["mv"],
+                             self.gaussian, self.entropy_coder)
+        mv_y_hat = jnp.asarray(mv_y_hat[None], jnp.float32)
+
+        context, temporal = self._motion_ctx(self.params, ref, mv_y_hat)
+
+        self.entropy_coder.set_stream(z_string)
+        z_hat = jnp.asarray(self._decode_z("bit_estimator_z", (1, zh, zw, N)))
+        hyper = self._prior_dec(self.params, z_hat)
+
+        self.entropy_coder.set_stream(y_string)
+        y_hyper = np.concatenate([np.asarray(temporal[0]), np.asarray(hyper[0])],
+                                 axis=-1)
+        y_hat = ar_decode((yh, yw, self.module.channel_M), y_hyper,
+                          self._ar_nets["y"], self.gaussian, self.entropy_coder)
+        recon = self._synth(self.params, jnp.asarray(y_hat[None], jnp.float32),
+                            context)
+        return {"recon_image": recon}
+
+
 class TcmVideoRuntime(_RuntimeBase):
     """Runtime for DMCTcm (no spatial AR — single-shot latent coding).
 
