@@ -51,7 +51,9 @@ class ArNets:
     with LeakyReLU (slope ``ep_slope``) between layers (not after the last).
     """
 
-    def __init__(self, ctx_w, ctx_b, ep_ws, ep_bs, ep_slope: float = 0.01):
+    def __init__(self, ctx_w, ctx_b, ep_ws, ep_bs, ep_slope: float = 0.01,
+                 means_first: bool = True):
+        self.means_first = means_first
         mask = masked_conv_mask_a(ctx_w.shape[0])[:, :, None, None]
         self.kernel = ctx_w.shape[0]
         self.ctx_w = (np.asarray(ctx_w, np.float64) * mask).reshape(
@@ -68,6 +70,10 @@ class ArNets:
             if i + 1 < len(self.ep_ws):
                 x = np.where(x >= 0, x, self.ep_slope * x)
         return x
+
+    def split(self, gp: np.ndarray):
+        a, b = np.split(gp, 2, axis=-1)
+        return (a, b) if self.means_first else (b, a)  # -> (means, scales)
 
 
 def _gather_windows(y_hat_pad: np.ndarray, pixels: np.ndarray, k: int):
@@ -99,7 +105,7 @@ def ar_encode(y: np.ndarray, hyper_params: np.ndarray, nets: ArNets,
         ctx = _gather_windows(y_hat_pad, pixels, k) @ nets.ctx_w + nets.ctx_b
         hp = hyper_params[pixels[:, 0], pixels[:, 1]]
         gp = nets.entropy_params(np.concatenate([hp, ctx], axis=-1))
-        means, scales = np.split(gp, 2, axis=-1)
+        means, scales = nets.split(gp)
         yv = y[pixels[:, 0], pixels[:, 1]]
         y_q = np.round(yv - means)
         y_hat_pad[pixels[:, 0] + p, pixels[:, 1] + p] = y_q + means
@@ -124,7 +130,7 @@ def ar_decode(shape_hwc, hyper_params: np.ndarray, nets: ArNets,
         ctx = _gather_windows(y_hat_pad, pixels, k) @ nets.ctx_w + nets.ctx_b
         hp = hyper_params[pixels[:, 0], pixels[:, 1]]
         gp = nets.entropy_params(np.concatenate([hp, ctx], axis=-1))
-        means, scales = np.split(gp, 2, axis=-1)
+        means, scales = nets.split(gp)
         idx = gaussian.build_indexes_np(scales)
         y_q = coder.decode_stream(idx.reshape(-1), gaussian.table)
         y_q = y_q.reshape(means.shape).astype(np.float64)

@@ -1,0 +1,313 @@
+"""CompressAI-style intra image codec zoo (gen-1 / TCM I-frame models).
+
+Parity targets: DCVC/src/models/priors.py:110-718 (FactorizedPrior,
+ScaleHyperprior, MeanScaleHyperprior, JointAutoregressiveHierarchicalPriors),
+DCVC/src/models/waseda.py:28-95 (Cheng2020Anchor), and the registry
+DCVC/src/zoo/image.py:26-31. DCVC-TCM's per-rate IntraNoAR (priors.py:105-278)
+shares the MeanScaleHyperprior machinery.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.bottleneck import EntropyBottleneck
+from ..layers.blocks import (
+    ResidualBlock,
+    ResidualBlockUpsample,
+    ResidualBlockWithStride,
+    SubpelConv,
+    conv,
+    leaky_relu,
+)
+from ..layers.gdn import GDN
+from . import priors
+from .video_dcvc import EntropyParams1x1, MaskedConv2d, _deconv
+
+
+def _probs_to_bits(likelihood):
+    return -jnp.log(jnp.clip(likelihood, 1e-9)) / jnp.log(2.0)
+
+
+class _GaTransform(nn.Module):
+    """conv5x5-s2 + GDN x4 analysis transform."""
+
+    N: int
+    M: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate([self.N] * 3 + [self.M]):
+            x = conv(ch, 5, 2, name=f"conv{i}", dtype=self.dtype)(x)
+            if i < 3:
+                x = GDN(ch, name=f"gdn{i}")(x)
+        return x
+
+
+class _GsTransform(nn.Module):
+    N: int
+    out_ch: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, y_hat):
+        x = y_hat
+        for i in range(3):
+            x = _deconv(self.N, 5, 2, name=f"deconv{i}", dtype=self.dtype)(x)
+            x = GDN(self.N, inverse=True, name=f"igdn{i}")(x)
+        return _deconv(self.out_ch, 5, 2, name="deconv3", dtype=self.dtype)(x)
+
+
+class FactorizedPrior(nn.Module):
+    N: int = 128
+    M: int = 192
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.g_a = _GaTransform(self.N, self.M, dtype=self.dtype)
+        self.g_s = _GsTransform(self.N, 3, dtype=self.dtype)
+        self.entropy_bottleneck = EntropyBottleneck(self.M)
+
+    def __call__(self, x, quant_mode: str = "round"):
+        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        y = self.g_a(x)
+        y_hat, y_lik = self.entropy_bottleneck(y, quant)
+        x_hat = self.g_s(y_hat)
+        pixel_num = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(_probs_to_bits(y_lik), axis=(1, 2, 3)) / pixel_num
+        return {"x_hat": x_hat, "bpp": bpp_y, "bpp_y": bpp_y,
+                "bit": jnp.sum(bpp_y) * pixel_num,
+                "aux_loss": self.entropy_bottleneck.aux_loss()}
+
+    def analyze(self, x):
+        return self.g_a(x)
+
+    def synthesize(self, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+
+class _HyperBase(nn.Module):
+    """Shared g_a/g_s + entropy bottleneck over z."""
+
+    N: int = 128
+    M: int = 192
+    dtype: jnp.dtype | None = None
+
+    def _gaussian_bits(self, y_q, scales):
+        from ..entropy import bits
+
+        return bits.y_gaussian_bits(y_q, jnp.maximum(scales, SCALES_MIN_JNP))
+
+
+SCALES_MIN_JNP = 0.11
+
+
+class ScaleHyperprior(_HyperBase):
+    def setup(self):
+        N, M = self.N, self.M
+        self.g_a = _GaTransform(N, M, dtype=self.dtype)
+        self.g_s = _GsTransform(N, 3, dtype=self.dtype)
+        self.h_a_convs = [conv(N, 3, 1), conv(N, 5, 2), conv(N, 5, 2)]
+        self.h_s_deconvs = [_deconv(N, 5, 2), _deconv(N, 5, 2), conv(self.M, 3, 1)]
+        self.entropy_bottleneck = EntropyBottleneck(N)
+
+    def h_a(self, y):
+        import jax
+
+        f = jax.nn.relu(self.h_a_convs[0](jnp.abs(y)))
+        f = jax.nn.relu(self.h_a_convs[1](f))
+        return self.h_a_convs[2](f)
+
+    def h_s(self, z_hat):
+        import jax
+
+        f = jax.nn.relu(self.h_s_deconvs[0](z_hat))
+        f = jax.nn.relu(self.h_s_deconvs[1](f))
+        return jax.nn.relu(self.h_s_deconvs[2](f))
+
+    def __call__(self, x, quant_mode: str = "round"):
+        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant)
+        scales_hat = self.h_s(z_hat)
+        y_q = quant(y)
+        x_hat = self.g_s(y_q)
+        pixel_num = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(self._gaussian_bits(y_q, scales_hat),
+                        axis=(1, 2, 3)) / pixel_num
+        bpp_z = jnp.sum(_probs_to_bits(z_lik), axis=(1, 2, 3)) / pixel_num
+        return {"x_hat": x_hat, "bpp": bpp_y + bpp_z, "bpp_y": bpp_y,
+                "bpp_z": bpp_z, "bit": jnp.sum(bpp_y + bpp_z) * pixel_num,
+                "aux_loss": self.entropy_bottleneck.aux_loss()}
+
+    def analyze(self, x):
+        y = self.g_a(x)
+        return y, self.h_a(y)
+
+    def scales_from_z(self, z_hat):
+        return self.h_s(z_hat)
+
+    def synthesize(self, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+
+class MeanScaleHyperprior(ScaleHyperprior):
+    def setup(self):
+        N, M = self.N, self.M
+        self.g_a = _GaTransform(N, M, dtype=self.dtype)
+        self.g_s = _GsTransform(N, 3, dtype=self.dtype)
+        self.h_a_convs = [conv(N, 3, 1), conv(N, 5, 2), conv(N, 5, 2)]
+        self.h_s_deconvs = [_deconv(M, 5, 2), _deconv(M * 3 // 2, 5, 2),
+                            conv(M * 2, 3, 1)]
+        self.entropy_bottleneck = EntropyBottleneck(N)
+
+    def h_a(self, y):
+        f = leaky_relu(self.h_a_convs[0](y))
+        f = leaky_relu(self.h_a_convs[1](f))
+        return self.h_a_convs[2](f)
+
+    def h_s(self, z_hat):
+        f = leaky_relu(self.h_s_deconvs[0](z_hat))
+        f = leaky_relu(self.h_s_deconvs[1](f))
+        return self.h_s_deconvs[2](f)
+
+    def __call__(self, x, quant_mode: str = "round"):
+        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant)
+        scales_hat, means_hat = jnp.split(self.h_s(z_hat), 2, axis=-1)
+        y_q = quant(y - means_hat)
+        y_hat = y_q + means_hat
+        x_hat = self.g_s(y_hat)
+        pixel_num = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(self._gaussian_bits(y_q, scales_hat),
+                        axis=(1, 2, 3)) / pixel_num
+        bpp_z = jnp.sum(_probs_to_bits(z_lik), axis=(1, 2, 3)) / pixel_num
+        return {"x_hat": x_hat, "bpp": bpp_y + bpp_z, "bpp_y": bpp_y,
+                "bpp_z": bpp_z, "bit": jnp.sum(bpp_y + bpp_z) * pixel_num,
+                "aux_loss": self.entropy_bottleneck.aux_loss()}
+
+    def params_from_z(self, z_hat):
+        scales_hat, means_hat = jnp.split(self.h_s(z_hat), 2, axis=-1)
+        return scales_hat, means_hat
+
+
+class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
+    N: int = 192
+    M: int = 192
+
+    def setup(self):
+        N, M = self.N, self.M
+        self.g_a = _GaTransform(N, M, dtype=self.dtype)
+        self.g_s = _GsTransform(N, 3, dtype=self.dtype)
+        self.h_a_convs = [conv(N, 3, 1), conv(N, 5, 2), conv(N, 5, 2)]
+        self.h_s_deconvs = [_deconv(M, 5, 2), _deconv(M * 3 // 2, 5, 2),
+                            conv(M * 2, 3, 1)]
+        self.entropy_bottleneck = EntropyBottleneck(N)
+        self.context_prediction = MaskedConv2d(2 * M, 5, dtype=self.dtype)
+        self.entropy_parameters = EntropyParams1x1(M, dtype=self.dtype)
+
+    def __call__(self, x, quant_mode: str = "round"):
+        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant)
+        hyper = self.h_s(z_hat)
+        y_hat_for_ctx = quant(y)  # means-unaware quantization for the context
+        ctx = self.context_prediction(y_hat_for_ctx)
+        gp = self.entropy_parameters(jnp.concatenate([hyper, ctx], axis=-1))
+        scales_hat, means_hat = jnp.split(gp, 2, axis=-1)
+        y_q = quant(y - means_hat)
+        y_hat = y_q + means_hat
+        x_hat = self.g_s(y_hat)
+        pixel_num = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(self._gaussian_bits(y_q, scales_hat),
+                        axis=(1, 2, 3)) / pixel_num
+        bpp_z = jnp.sum(_probs_to_bits(z_lik), axis=(1, 2, 3)) / pixel_num
+        return {"x_hat": x_hat, "bpp": bpp_y + bpp_z, "bpp_y": bpp_y,
+                "bpp_z": bpp_z, "bit": jnp.sum(bpp_y + bpp_z) * pixel_num,
+                "aux_loss": self.entropy_bottleneck.aux_loss()}
+
+    def hyper_from_z(self, z_hat):
+        return self.h_s(z_hat)
+
+
+class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
+    """Construct with M == N (waseda.py:41: super().__init__(N=N, M=N))."""
+
+    N: int = 192
+    M: int = 192
+
+    def setup(self):
+        assert self.M == self.N, "Cheng2020Anchor requires M == N"
+        N = self.N
+        self.entropy_bottleneck = EntropyBottleneck(N)
+        self.context_prediction = MaskedConv2d(2 * N, 5, dtype=self.dtype)
+        self.entropy_parameters = EntropyParams1x1(N, dtype=self.dtype)
+        self.g_a_blocks = [
+            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+        ]
+        self.g_a_out = conv(N, 3, 2)
+        self.h_a_convs = [conv(N, 3, 1), conv(N, 3, 1), conv(N, 3, 2),
+                          conv(N, 3, 1), conv(N, 3, 2)]
+        self.h_s_layers = None  # built in methods below
+        self.h_s_conv1 = conv(N, 3, 1)
+        self.h_s_up1 = SubpelConv(N, 2, 3)
+        self.h_s_conv2 = conv(N * 3 // 2, 3, 1)
+        self.h_s_up2 = SubpelConv(N * 3 // 2, 2, 3)
+        self.h_s_conv3 = conv(N * 2, 3, 1)
+        self.g_s_blocks = [
+            ResidualBlock(N, dtype=self.dtype),
+            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlock(N, dtype=self.dtype),
+        ]
+        self.g_s_out = SubpelConv(3, 2, 3)
+
+    def g_a(self, x):
+        for blk in self.g_a_blocks:
+            x = blk(x)
+        return self.g_a_out(x)
+
+    def g_s(self, y_hat):
+        x = y_hat
+        for blk in self.g_s_blocks:
+            x = blk(x)
+        return self.g_s_out(x)
+
+    def h_a(self, y):
+        f = leaky_relu(self.h_a_convs[0](y))
+        f = leaky_relu(self.h_a_convs[1](f))
+        f = leaky_relu(self.h_a_convs[2](f))
+        f = leaky_relu(self.h_a_convs[3](f))
+        return self.h_a_convs[4](f)
+
+    def h_s(self, z_hat):
+        f = leaky_relu(self.h_s_conv1(z_hat))
+        f = self.h_s_up1(f)
+        f = leaky_relu(self.h_s_conv2(f))
+        f = self.h_s_up2(f)
+        return self.h_s_conv3(f)
+
+
+# registry mirroring DCVC/src/zoo/image.py
+model_architectures = {
+    "bmshj2018-factorized": FactorizedPrior,
+    "bmshj2018-hyperprior": ScaleHyperprior,
+    "mbt2018-mean": MeanScaleHyperprior,
+    "mbt2018": JointAutoregressiveHierarchicalPriors,
+    "cheng2020-anchor": Cheng2020Anchor,
+}

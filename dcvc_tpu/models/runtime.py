@@ -159,6 +159,166 @@ class EvcCodecRuntime(_RuntimeBase):
         return {"x_hat": x_hat}
 
 
+class IntraZooRuntime:
+    """Runtime for the CompressAI-style intra zoo (models/intra_zoo.py).
+
+    Parity: DCVC/src/models/priors.py compress/decompress per model family —
+    separate strings per latent, z via EntropyBottleneck, y via
+    GaussianConditional (one-shot or wavefront-AR for mbt2018/cheng2020).
+    """
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1):
+        del ec_thread
+        self.module = module
+        self.params = params
+        self.kind = {
+            "FactorizedPrior": "factorized",
+            "ScaleHyperprior": "scale",
+            "MeanScaleHyperprior": "meanscale",
+            "JointAutoregressiveHierarchicalPriors": "joint",
+            "Cheng2020Anchor": "joint",
+        }[type(module).__name__]
+        self.stream_part = 1 if self.kind == "joint" else stream_part
+        self.entropy_coder = None
+        self.gaussian = None
+        self._eb_tables = {}
+        self._ar_nets = None
+
+        m, mt = module, type(module)
+        self._fwd = jax.jit(lambda p, x: m.apply(p, x))
+        self._analyze = jax.jit(lambda p, x: m.apply(p, x, method=mt.analyze))
+        self._synth = jax.jit(lambda p, y: m.apply(p, y, method=mt.synthesize))
+        if self.kind == "scale":
+            self._scales = jax.jit(
+                lambda p, z: m.apply(p, z, method=mt.scales_from_z))
+        elif self.kind == "meanscale":
+            self._params_z = jax.jit(
+                lambda p, z: m.apply(p, z, method=mt.params_from_z))
+        elif self.kind == "joint":
+            self._hyper = jax.jit(
+                lambda p, z: m.apply(p, z, method=mt.hyper_from_z))
+
+    def _eb_medians(self):
+        mt = type(self.module)
+        return np.asarray(self.module.apply(
+            self.params,
+            method=lambda m: m.entropy_bottleneck.medians()))
+
+    def update(self, force: bool = False):
+        from ..entropy.bottleneck import EntropyBottleneck, build_bottleneck_tables
+        from ..entropy.gaussian_conditional import GaussianConditional
+
+        if self.entropy_coder is not None and not force:
+            return
+        self.entropy_coder = EntropyCoder(False, self.stream_part)
+        self.gaussian = GaussianConditional()
+        self.gaussian.update(force=True)
+        eb_params = {"params": self.params["params"]["entropy_bottleneck"]}
+        channels = (self.module.M if self.kind == "factorized"
+                    else self.module.N)
+        eb_module = EntropyBottleneck(channels)
+        self._eb_tables["eb"] = build_bottleneck_tables(eb_params, eb_module)
+        self._medians = self._eb_medians()
+        if self.kind == "joint":
+            p = self.params["params"]
+            from .ar_coding import ArNets
+
+            ar = p["context_prediction"]
+            ep = p["entropy_parameters"]
+            ep_ws = [np.asarray(ep[f"c{i}"]["kernel"]).reshape(
+                ep[f"c{i}"]["kernel"].shape[-2], -1) for i in (1, 2, 3)]
+            ep_bs = [np.asarray(ep[f"c{i}"]["bias"]) for i in (1, 2, 3)]
+            self._ar_nets = ArNets(np.asarray(ar["kernel"]),
+                                   np.asarray(ar["bias"]), ep_ws, ep_bs,
+                                   means_first=False)
+
+    def forward(self, x):
+        return self._fwd(self.params, jnp.asarray(x))
+
+    def _flush(self):
+        self.entropy_coder.flush()
+        return self.entropy_coder.get_encoded_stream()
+
+    def compress(self, x):
+        from ..entropy.bottleneck import bottleneck_encode
+        from .ar_coding import ar_encode
+
+        x = jnp.asarray(x)
+        coder, table = self.entropy_coder, self._eb_tables["eb"]
+        if self.kind == "factorized":
+            y = self._analyze(self.params, x)
+            coder.reset()
+            bottleneck_encode(coder, y, self._medians, table)
+            y_string = self._flush()
+            medians = self._medians.reshape(1, 1, 1, -1)
+            y_hat = jnp.asarray(np.round(np.asarray(y) - medians) + medians,
+                                jnp.float32)
+            return {"strings": [y_string], "shape": y.shape[1:3],
+                    "x_hat": self._synth(self.params, y_hat)}
+
+        y, z = self._analyze(self.params, x)
+        coder.reset()
+        bottleneck_encode(coder, z, self._medians, table)
+        z_string = self._flush()
+        medians = self._medians.reshape(1, 1, 1, -1)
+        z_hat = jnp.asarray(np.round(np.asarray(z) - medians) + medians,
+                            jnp.float32)
+
+        coder.reset()
+        if self.kind == "scale":
+            scales = self._scales(self.params, z_hat)
+            self.gaussian.encode(coder, np.asarray(y), np.asarray(scales))
+            y_hat = jnp.round(y)
+        elif self.kind == "meanscale":
+            scales, means = self._params_z(self.params, z_hat)
+            self.gaussian.encode(coder, np.asarray(y), np.asarray(scales),
+                                 np.asarray(means))
+            y_hat = jnp.round(y - means) + means
+        else:  # joint (wavefront AR)
+            hyper = self._hyper(self.params, z_hat)
+            y_hat = ar_encode(np.asarray(y[0]), np.asarray(hyper[0]),
+                              self._ar_nets, self.gaussian, coder)
+            y_hat = jnp.asarray(y_hat[None], jnp.float32)
+        y_string = self._flush()
+        return {"strings": [y_string, z_string], "shape": z.shape[1:3],
+                "x_hat": self._synth(self.params, y_hat)}
+
+    def decompress(self, strings, shape_hw):
+        from ..entropy.bottleneck import bottleneck_decode
+        from .ar_coding import ar_decode
+
+        coder, table = self.entropy_coder, self._eb_tables["eb"]
+        if self.kind == "factorized":
+            coder.set_stream(strings[0])
+            C = self.module.M
+            y_hat = bottleneck_decode(coder, (1, *shape_hw, C), self._medians,
+                                      table)
+            return {"x_hat": self._synth(self.params,
+                                         jnp.asarray(y_hat, jnp.float32))}
+
+        y_string, z_string = strings
+        coder.set_stream(z_string)
+        z_hat = bottleneck_decode(coder, (1, *shape_hw, self.module.N),
+                                  self._medians, table)
+        z_hat = jnp.asarray(z_hat, jnp.float32)
+
+        coder.set_stream(y_string)
+        if self.kind == "scale":
+            scales = np.asarray(self._scales(self.params, z_hat))
+            y_hat = self.gaussian.decode(coder, scales)
+        elif self.kind == "meanscale":
+            scales, means = self._params_z(self.params, z_hat)
+            y_hat = self.gaussian.decode(coder, np.asarray(scales),
+                                         np.asarray(means))
+        else:
+            hyper = self._hyper(self.params, z_hat)
+            yh, yw = shape_hw[0] * 4, shape_hw[1] * 4
+            y_hat = ar_decode((yh, yw, self.module.M), np.asarray(hyper[0]),
+                              self._ar_nets, self.gaussian, coder)[None]
+        return {"x_hat": self._synth(self.params,
+                                     jnp.asarray(y_hat, jnp.float32))}
+
+
 class DcvcGen1Runtime(_RuntimeBase):
     """Runtime for DCVCNet (gen-1): hyper + pixel-AR entropy models.
 
