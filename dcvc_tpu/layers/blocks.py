@@ -33,6 +33,19 @@ def conv(features: int, kernel: int = 3, stride: int = 1, name: str | None = Non
                    kernel_init=conv_kernel_init)
 
 
+def deconv(features: int, kernel: int = 3, stride: int = 2,
+           name: str | None = None, dtype=None) -> nn.ConvTranspose:
+    """torch-parity ConvTranspose2d(k, s, padding=k//2, output_padding=s-1):
+    explicit low/high padding (k-1-p, k-1-p+op); converter flips the kernel
+    spatially (utils/torch_port.conv_transpose_kernel)."""
+    p = kernel // 2
+    op = stride - 1
+    pad = ((kernel - 1 - p, kernel - 1 - p + op),) * 2
+    return nn.ConvTranspose(features, (kernel, kernel), strides=(stride, stride),
+                            padding=pad, name=name, dtype=dtype,
+                            kernel_init=conv_kernel_init)
+
+
 class SubpelConv(nn.Module):
     """conv(k) producing out*r^2 channels + pixel shuffle upsample by r."""
 

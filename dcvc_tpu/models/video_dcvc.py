@@ -28,9 +28,9 @@ from .video_net import MESpynet
 
 def _deconv(features: int, kernel: int = 3, stride: int = 2,
             name: str | None = None, dtype=None):
-    return nn.ConvTranspose(features, (kernel, kernel),
-                            strides=(stride, stride), padding="SAME",
-                            name=name, dtype=dtype)
+    from ..layers.blocks import deconv
+
+    return deconv(features, kernel, stride, name=name, dtype=dtype)
 
 
 class Gen1ResBlock(nn.Module):

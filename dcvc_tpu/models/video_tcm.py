@@ -21,8 +21,9 @@ from .video_net import MESpynet
 
 
 def _deconv(features: int, stride: int = 2, name: str | None = None, dtype=None):
-    return nn.ConvTranspose(features, (3, 3), strides=(stride, stride),
-                            padding="SAME", name=name, dtype=dtype)
+    from ..layers.blocks import deconv
+
+    return deconv(features, 3, stride, name=name, dtype=dtype)
 
 
 class TcmFeatureExtractor(nn.Module):

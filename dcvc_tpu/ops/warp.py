@@ -28,10 +28,12 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     wx = xs - x0
     wy = ys - y0
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, W - 1)
+    x1i = jnp.clip(x0r + 1, 0, W - 1)
+    y0i = jnp.clip(y0r, 0, H - 1)
+    y1i = jnp.clip(y0r + 1, 0, H - 1)
 
     # border padding also clamps the interpolation weights' source positions:
     # when xs < 0 or > W-1 both taps collapse to the edge texel, so the weight
@@ -50,7 +52,10 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Half-pixel-centered bilinear resize, NHWC (align_corners=False)."""
     B, _, _, C = x.shape
-    return jax.image.resize(x, (B, out_h, out_w, C), method="linear")
+    # antialias=False matches F.interpolate(align_corners=False) for both
+    # up- and down-sampling (torch never antialiases by default)
+    return jax.image.resize(x, (B, out_h, out_w, C), method="linear",
+                            antialias=False)
 
 
 def bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
