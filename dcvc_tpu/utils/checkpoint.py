@@ -1,0 +1,61 @@
+"""Checkpoint save/load for flax param trees.
+
+Native format: a flat .npz of path-joined arrays (fast, dependency-free,
+works with jax.Array / numpy). Torch checkpoints from the reference are
+ported via utils/torch_port.py converters plus per-model key maps.
+Parity: flexible unwrapping semantics of get_state_dict
+(DCVC-DC/src/utils/stream_helper.py:40-47) live in utils/stream.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **_flatten(jax.device_get(params)))
+
+
+def load_params(path: str, like=None):
+    """Load an .npz param tree; if ``like`` given, validates structure."""
+    with np.load(path) as data:
+        tree = _unflatten({k: data[k] for k in data.files})
+    if like is not None:
+        ref = _flatten(like)
+        got = _flatten(tree)
+        missing = set(ref) - set(got)
+        extra = set(got) - set(ref)
+        if missing or extra:
+            raise ValueError(
+                f"checkpoint mismatch: missing={sorted(missing)[:5]} "
+                f"extra={sorted(extra)[:5]}")
+        for k in ref:
+            if ref[k].shape != got[k].shape:
+                raise ValueError(f"shape mismatch at {k}: "
+                                 f"{ref[k].shape} vs {got[k].shape}")
+    return tree

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Video RD evaluation CLI — parity with DCVC-DC/test_video.py:26-56.
+
+Reads a JSON dataset config (reference schema), runs the selected I/P codec
+pair over (sequence x rate) work items, writes the nested results JSON.
+Rate points: q_indexes from the checkpoint anchors (q_in_ckpt) or the
+64-point fine table (rate_num up to 64).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path_i", type=str, default=None)
+    p.add_argument("--model_path_p", type=str, default=None)
+    p.add_argument("--i_frame_model", type=str, default="intra_dc")
+    p.add_argument("--p_frame_model", type=str, default="dmc_dc")
+    p.add_argument("--rate_num", type=int, default=4)
+    p.add_argument("--q_indexes", type=int, nargs="+", default=None)
+    p.add_argument("--test_config", type=str, required=True)
+    p.add_argument("--force_intra", action="store_true")
+    p.add_argument("--force_intra_period", type=int, default=0)
+    p.add_argument("--force_frame_num", type=int, default=-1)
+    p.add_argument("--write_stream", type=int, default=0)
+    p.add_argument("--stream_path", type=str, default="bitstreams")
+    p.add_argument("--decoded_frame_path", type=str, default=None)
+    p.add_argument("--calc_ssim", type=int, default=0)
+    p.add_argument("--yuv420", type=int, default=0)
+    p.add_argument("--ec_thread", type=int, default=0)
+    p.add_argument("--stream_part_i", type=int, default=1)
+    p.add_argument("--stream_part_p", type=int, default=1)
+    p.add_argument("--output_path", type=str, default="out/results.json")
+    p.add_argument("--verbose", type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from dcvc_tpu.models.registry import build
+    from dcvc_tpu.runner.video import EvalConfig, load_dataset_config, run_sequence
+    from dcvc_tpu.utils.results import dump_json
+
+    with open(args.test_config) as f:
+        specs = load_dataset_config(json.load(f))
+
+    _, _, i_rt = build(args.i_frame_model)
+    if args.model_path_i:
+        from dcvc_tpu.utils.checkpoint import load_params
+
+        i_rt.params = load_params(args.model_path_i, i_rt.params)
+    i_rt.ec_thread, i_rt.stream_part = bool(args.ec_thread), args.stream_part_i
+    i_rt.update(force=True)
+
+    p_rt = None
+    if not args.force_intra:
+        _, _, p_rt = build(args.p_frame_model)
+        if args.model_path_p:
+            from dcvc_tpu.utils.checkpoint import load_params
+
+            p_rt.params = load_params(args.model_path_p, p_rt.params)
+        p_rt.ec_thread, p_rt.stream_part = bool(args.ec_thread), args.stream_part_p
+        p_rt.update(force=True)
+
+    if args.q_indexes:
+        q_indexes = args.q_indexes
+    elif args.rate_num == 4:
+        q_indexes = [0, 1, 2, 3]
+    else:
+        import numpy as np
+
+        q_indexes = [int(v) for v in np.linspace(0, 63, args.rate_num)]
+
+    results = {}
+    t0 = time.time()
+    for seq in specs:
+        for rate_idx, q in enumerate(q_indexes):
+            cfg = EvalConfig(
+                intra_period=(1 if args.force_intra else
+                              (args.force_intra_period or seq.gop)),
+                frame_num=(args.force_frame_num if args.force_frame_num > 0
+                           else seq.frames),
+                write_stream=bool(args.write_stream),
+                stream_path=args.stream_path,
+                decoded_path=args.decoded_frame_path,
+                calc_ssim=bool(args.calc_ssim),
+                yuv420_metrics=bool(args.yuv420),
+                verbose=args.verbose,
+                q_in_ckpt=(args.rate_num == 4 and not args.q_indexes),
+            )
+            summary = run_sequence(i_rt, p_rt, seq, cfg,
+                                   q_index_i=q, q_index_p=q)
+            results.setdefault(seq.name, {})[f"rate_{rate_idx}"] = summary
+            if args.verbose:
+                print(f"[{time.time() - t0:7.1f}s] {seq.name} rate {rate_idx} "
+                      f"bpp={summary['ave_all_frame_bpp']:.4f} "
+                      f"psnr={summary['ave_all_frame_psnr']:.3f}")
+
+    dump_json(results, args.output_path)
+    print(f"results -> {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()
