@@ -27,12 +27,19 @@ REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
 def main():
     H, W = 1088, 1920  # 1080p padded to /16
     module = DMC()
+    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+
+    # init at tiny resolution (params are resolution-independent); jit the
+    # 1080p step itself
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    dpb_init = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
+                "ref_y": None, "ref_mv_y": None}
+    params = jax.jit(module.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), x0, dpb_init, qs, 0)
+
     x = jnp.zeros((1, H, W, 3), jnp.float32)
     dpb0 = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
             "ref_y": None, "ref_mv_y": None}
-    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
-
-    params = module.init(jax.random.PRNGKey(0), x, dpb0, qs, 0)
 
     @jax.jit
     def p_frame(p, x, dpb, qs):

@@ -122,7 +122,7 @@ class SELayer(nn.Module):
     def __call__(self, x):
         ch = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2))  # [B, C]
-        y = nn.Dense(ch // self.reduction, use_bias=False, name="fc1",
+        y = nn.Dense(max(ch // self.reduction, 1), use_bias=False, name="fc1",
                      dtype=self.dtype)(y)
         y = jax.nn.relu(y)
         y = nn.Dense(ch, use_bias=False, name="fc2", dtype=self.dtype)(y)
