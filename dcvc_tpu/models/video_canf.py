@@ -56,6 +56,11 @@ class CanfMainCoder(nn.Module):
         self.synthesis_recon = [HemReconGeneration(N, dtype=self.dtype)
                                 for _ in range(self.num_layers)]
 
+    def __call__(self, x, contexts):
+        """encode + decode round trip (materializes all ladder params)."""
+        x2, code = self.encode(x, contexts)
+        return self.decode(jnp.zeros_like(x), contexts, code), x2, code
+
     def _synth(self, i, code, contexts):
         c1, c2, c3 = contexts
         feat = self.synthesis_dec[i](code, c2, c3)

@@ -16,24 +16,43 @@ def _img(h=64, w=64, seed=0, shift=0):
                     ).astype(jnp.float32)
 
 
-def test_canf_ladder_inverts():
-    """decode(zeros, ctx, code) must invert encode up to the x-residual."""
+def test_canf_ladder_algebra():
+    """Check the 2-layer additive ladder against its algebraic expansion.
+
+    encode: code = enc0(x) + enc1(x - synth0(enc0(x))); decode (from zeros,
+    the CANF-VC generative direction — the residual is only *trained* toward
+    zero via x2_mse): x_rec = synth1(y) + synth0(y - enc1(synth1(y))).
+    """
     module = CanfMainCoder(2, channel_N=8, channel_M=12)
     x = _img(seed=0)
     contexts = tuple(
         jnp.asarray(np.random.default_rng(i).normal(0, 1, (1, s, s, 8)),
                     jnp.float32)
         for i, s in zip(range(3), (64, 32, 16)))
-    params = module.init(jax.random.PRNGKey(0), x, contexts,
-                         method=CanfMainCoder.encode)
+    params = module.init(jax.random.PRNGKey(0), x, contexts)
+
+    def enc_i(i, v):
+        return module.apply(params, v, *contexts,
+                            method=lambda m, v, *c: m.analysis[i](v, *c))
+
+    def synth_i(i, code):
+        return module.apply(params, code, contexts,
+                            method=lambda m, code, c: m._synth(i, code, c))
 
     x2, code = module.apply(params, x, contexts, method=CanfMainCoder.encode)
-    # decode with the *unquantized* code must reproduce x minus the final
-    # residual exactly (additive flows are exactly invertible)
+    code0 = enc_i(0, x)
+    x1_exp = x - synth_i(0, code0)
+    code_exp = code0 + enc_i(1, x1_exp)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1_exp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(code), np.asarray(code_exp),
+                               atol=2e-5)
+
     x_rec = module.apply(params, jnp.zeros_like(x), contexts, code,
                          method=CanfMainCoder.decode)
-    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x - x2),
-                               atol=2e-4)
+    s1 = synth_i(1, code)
+    rec_exp = s1 + synth_i(0, code - enc_i(1, s1))
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(rec_exp),
+                               atol=2e-5)
 
 
 def test_canfvc_forward_chain():
