@@ -196,6 +196,13 @@ class CANFVCDmc(nn.Module):
         x_hat = jnp.clip(self.dq(x_hat), 0.0, 1.0)
 
         pixel_num = x.shape[1] * x.shape[2]
+        return self._collect(x, x2, warp_frame, y_q, scales_hat, mv_y_q,
+                             mv_scales_hat, z_hat, mv_z_hat, x_hat, y_hat,
+                             mv_y_hat, pixel_num)
+
+    def _collect(self, x, x2, warp_frame, y_q, scales_hat, mv_y_q,
+                 mv_scales_hat, z_hat, mv_z_hat, x_hat, y_hat, mv_y_hat,
+                 pixel_num):
         bpp_y = jnp.sum(bits.y_laplace_bits(y_q, scales_hat),
                         axis=(1, 2, 3)) / pixel_num
         bpp_mv_y = jnp.sum(bits.y_laplace_bits(mv_y_q, mv_scales_hat),
@@ -220,3 +227,77 @@ class CANFVCDmc(nn.Module):
                 "ref_mv_y": mv_y_hat,
             },
         }
+
+    # ---- real-coding surface (HemVideoRuntime-compatible) ----
+
+    def compress_device(self, x, dpb, mv_y_q_scale, y_q_scale):
+        curr_mv_q = lower_bound(self.mv_y_q_basic, 0.5) * mv_y_q_scale
+        curr_y_q = lower_bound(self.y_q_basic, 0.5) * y_q_scale
+
+        est_mv = self.optic_flow(x, dpb["ref_frame"])
+        mv_y = self.mv_encoder(est_mv) / curr_mv_q
+        mv_z = self.mv_hyper_prior_encoder(mv_y)
+        mv_z_hat = jnp.round(mv_z)
+        mv_qsm = self.mv_prior(mv_z_hat, dpb["ref_mv_y"], mv_y.shape)
+        mv_w0, mv_w1, mv_s0, mv_s1, mv_y_hat = priors.forward_dual_prior(
+            mv_y, mv_qsm[2], mv_qsm[1], mv_qsm[0], self.mv_spatial_chunks,
+            write=True)
+        mv_y_hat = mv_y_hat * curr_mv_q
+
+        mv_hat = self.mv_decoder(mv_y_hat)
+        c1, c2, c3, _ = self.motion_compensation(dpb, mv_hat)
+        contexts = (c1, c2, c3)
+
+        _, y = self.contextual_coder.encode(x, contexts)
+        y = y / curr_y_q
+        z = self.contextual_hyper_prior_encoder(y)
+        z_hat = jnp.round(z)
+        qsm = self.y_prior(z_hat, dpb["ref_y"], c3, y.shape)
+        y_w0, y_w1, s0, s1, y_hat = priors.forward_dual_prior(
+            y, qsm[2], qsm[1], qsm[0], self.y_spatial_chunks, write=True)
+        y_hat = y_hat * curr_y_q
+
+        x_hat = self.contextual_coder.decode(jnp.zeros_like(x), contexts, y_hat)
+        x_hat = jnp.clip(self.dq(x_hat), 0.0, 1.0)
+        return {
+            "mv_z_hat": mv_z_hat, "z_hat": z_hat,
+            "mv_y_q_planes": (mv_w0, mv_w1),
+            "mv_scales_planes": (mv_s0, mv_s1),
+            "y_q_planes": (y_w0, y_w1),
+            "scales_planes": (s0, s1),
+            "dpb": {"ref_frame": x_hat, "ref_feature": None,
+                    "ref_y": y_hat, "ref_mv_y": mv_y_hat},
+        }
+
+    def decode_mv_prior(self, mv_z_hat, ref_mv_y, y_height: int, y_width: int):
+        B = mv_z_hat.shape[0]
+        return self.mv_prior(mv_z_hat, ref_mv_y,
+                             (B, y_height, y_width, self.channel_mv))
+
+    def decode_motion_stage(self, mv_y_hat, mv_y_q_scale, dpb, z_hat,
+                            y_height: int, y_width: int):
+        mv_y_hat = mv_y_hat * (lower_bound(self.mv_y_q_basic, 0.5)
+                               * mv_y_q_scale)
+        mv_hat = self.mv_decoder(mv_y_hat)
+        c1, c2, c3, _ = self.motion_compensation(dpb, mv_hat)
+        B = z_hat.shape[0]
+        qsm = self.y_prior(z_hat, dpb["ref_y"], c3,
+                           (B, y_height, y_width, self.channel_M))
+        return qsm, (c1, c2, c3), mv_y_hat
+
+    def decode_recon_stage(self, y_hat, y_q_scale, contexts):
+        y_hat = y_hat * (lower_bound(self.y_q_basic, 0.5) * y_q_scale)
+        c1 = contexts[0]
+        B, H, W = c1.shape[0], c1.shape[1], c1.shape[2]
+        x0 = jnp.zeros((B, H, W, 3), c1.dtype)
+        x_hat = self.contextual_coder.decode(x0, contexts, y_hat)
+        x_hat = jnp.clip(self.dq(x_hat), 0.0, 1.0)
+        return x_hat, None, y_hat
+
+    def mv_dual_scales_step1(self, q_step, scales, means, half0, half1):
+        return priors.dual_decode_scales(means, scales, q_step, half0, half1,
+                                         self.mv_spatial_chunks, 1)
+
+    def y_dual_scales_step1(self, q_step, scales, means, half0, half1):
+        return priors.dual_decode_scales(means, scales, q_step, half0, half1,
+                                         self.y_spatial_chunks, 1)

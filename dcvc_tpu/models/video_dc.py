@@ -149,6 +149,7 @@ class ReconGeneration(nn.Module):
 
 class DMC(nn.Module):
     anchor_num: int = 4
+    warp_chunks: int = 1  # sequential warp chunks for HBM-tight configs
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -156,7 +157,9 @@ class DMC(nn.Module):
         ch_mv = 64
         self.channel_mv = ch_mv
         self.optic_flow = MESpynet(dtype=self.dtype)
-        self.align = OffsetDiversity(in_channel=c1, dtype=self.dtype)
+        self.align = OffsetDiversity(in_channel=c1,
+                                     warp_chunks=self.warp_chunks,
+                                     dtype=self.dtype)
 
         self.mv_encoder = MvEnc(ch_mv, dtype=self.dtype)
         self.mv_hyper_prior_encoder = HyperEnc(64, dtype=self.dtype)

@@ -71,6 +71,9 @@ class OffsetDiversity(nn.Module):
     group_num: int = 16
     max_residue_magnitude: float = 40.0
     head_ch: int = 64
+    # >1 processes the G*O warp maps in sequential chunks (lax.scan) to cut
+    # peak HBM by ~chunks at full-res; identical numerics
+    warp_chunks: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -102,12 +105,41 @@ class OffsetDiversity(nn.Module):
         xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * G * O, H, W, Cg)
         off = offset.transpose(0, 3, 1, 2, 4).reshape(B * G * O, H, W, 2)
         m = mask.transpose(0, 3, 1, 2).reshape(B * G * O, H, W, 1)
-        warped = flow_warp(xg, off) * m
+        if self.warp_chunks > 1:
+            nc = self.warp_chunks
+            per = (B * G * O) // nc
+
+            def body(_, args):
+                xg_c, off_c, m_c = args
+                return None, flow_warp(xg_c, off_c) * m_c
+
+            _, warped = jax.lax.scan(
+                body, None,
+                (xg.reshape(nc, per, H, W, Cg),
+                 off.reshape(nc, per, H, W, 2),
+                 m.reshape(nc, per, H, W, 1)))
+            warped = warped.reshape(B * G * O, H, W, Cg)
+        else:
+            warped = flow_warp(xg, off) * m
         warped = warped.reshape(B, G * O, H, W, Cg).transpose(0, 2, 3, 1, 4)
         warped = warped.reshape(B, H, W, G * O * Cg)
 
-        return nn.Conv(self.in_channel, (1, 1), feature_group_count=G,
-                       name="fusion", dtype=self.dtype)(warped)
+        # grouped 1x1 fusion conv expressed as a block-diagonal dense matmul:
+        # a feature_group_count conv with 6-in/3-out per group tiles as
+        # [..., G, 6] on TPU and pads ~43x (16 GB of HLO temp at 1080p); the
+        # dense (G*O*Cg, C) matmul is exactly equivalent and MXU-friendly.
+        in_per_g = O * Cg
+        out_per_g = self.in_channel // G
+        w = self.param(
+            "fusion_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (G, in_per_g, out_per_g))
+        b = self.param("fusion_bias", nn.initializers.zeros, (self.in_channel,))
+        dense = jax.scipy.linalg.block_diag(*[w[g] for g in range(G)])
+        if self.dtype is not None:
+            dense = dense.astype(self.dtype)
+            warped = warped.astype(self.dtype)
+        return jnp.dot(warped, dense) + b
 
 
 class FeatureExtractor(nn.Module):

@@ -55,6 +55,30 @@ def test_canf_ladder_algebra():
                                atol=2e-5)
 
 
+def test_canfvc_roundtrip():
+    from dcvc_tpu.models.runtime import HemVideoRuntime
+
+    module = CANFVCDmc(channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb0 = {"ref_frame": x, "ref_feature": None, "ref_y": None,
+            "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x, dpb0, jnp.ones(()),
+                         jnp.ones(()))
+    rt = HemVideoRuntime(module, params)
+    rt.update(force=True)
+
+    ref = _img(seed=7)
+    xx = _img(seed=7, shift=1)
+    dpb = {"ref_frame": ref, "ref_feature": None, "ref_y": None,
+           "ref_mv_y": None}
+    comp = rt.compress(xx, dpb, 0.9, 0.8)
+    dec = rt.decompress(dpb, comp["bit_stream"], 64, 64, 0.9, 0.8)
+    for key in ("ref_frame", "ref_y", "ref_mv_y"):
+        np.testing.assert_allclose(np.asarray(comp["dpb"][key]),
+                                   np.asarray(dec["dpb"][key]),
+                                   atol=1e-5, err_msg=key)
+
+
 def test_canfvc_forward_chain():
     module = CANFVCDmc(channel_mv=16, channel_N=16, channel_M=24)
     x = jnp.zeros((1, 64, 64, 3))

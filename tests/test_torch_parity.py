@@ -152,6 +152,44 @@ def test_replicate_pad_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=0)
 
 
+def test_offset_diversity_parity():
+    """Grouped multi-offset warp: reshape semantics + block-diag fusion."""
+    from src.models.video_model import OffsetDiversity as TOffsetDiversity
+
+    torch.manual_seed(7)
+    tmod = TOffsetDiversity()  # in_channel=48, aux=53, O=2, G=16
+    g = torch.Generator().manual_seed(8)
+    x = torch.randn(1, 48, 16, 24, generator=g)
+    aux = torch.randn(1, 53, 16, 24, generator=g)
+    flow = torch.randn(1, 2, 16, 24, generator=g) * 2
+    ref = _to_nhwc(tmod(x, aux, flow))
+
+    from dcvc_tpu.models.video_net import OffsetDiversity
+
+    jmod = OffsetDiversity(in_channel=48)
+    convs = [m for m in tmod.conv_offset if isinstance(m, torch.nn.Conv2d)]
+    fusion_w = _np(tmod.fusion.weight)  # [48, 6, 1, 1] grouped
+    fusion_b = _np(tmod.fusion.bias)
+    G, in_per_g, out_per_g = 16, 6, 3
+    wg = np.zeros((G, in_per_g, out_per_g), np.float32)
+    for gi in range(G):
+        for j in range(out_per_g):
+            wg[gi, :, j] = fusion_w[gi * out_per_g + j, :, 0, 0]
+    params = {"params": {
+        "offset1": {"kernel": jnp.asarray(tp.conv_kernel(_np(convs[0].weight))),
+                    "bias": jnp.asarray(_np(convs[0].bias))},
+        "offset2": {"kernel": jnp.asarray(tp.conv_kernel(_np(convs[1].weight))),
+                    "bias": jnp.asarray(_np(convs[1].bias))},
+        "offset3": {"kernel": jnp.asarray(tp.conv_kernel(_np(convs[2].weight))),
+                    "bias": jnp.asarray(_np(convs[2].bias))},
+        "fusion_kernel": jnp.asarray(wg),
+        "fusion_bias": jnp.asarray(fusion_b),
+    }}
+    out = jmod.apply(params, jnp.asarray(_to_nhwc(x)),
+                     jnp.asarray(_to_nhwc(aux)), jnp.asarray(_to_nhwc(flow)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
 def test_conv_transpose_parity():
     tmod = torch.nn.ConvTranspose2d(6, 8, 3, stride=2, padding=1,
                                     output_padding=1)
