@@ -44,6 +44,10 @@ def main():
     from dcvc_tpu.utils.stream import (decode_i_ushort_q, encode_i_ushort_q,
                                        filesize, get_rounded_q)
 
+    images = sorted(glob.glob(os.path.join(args.img_folder, "*.png")))
+    if not images:
+        sys.exit(f"error: no .png images found in {args.img_folder}")
+
     _, params, rt = build(args.model)
     if args.model_path:
         from dcvc_tpu.utils.checkpoint import load_params
@@ -56,7 +60,6 @@ def main():
     q_scales = np.exp(np.linspace(np.log(anchors[0]), np.log(anchors[-1]),
                                   args.rate_num)) if args.rate_num > 1 else anchors[:1]
 
-    images = sorted(glob.glob(os.path.join(args.img_folder, "*.png")))
     results = {}
     for img_path in images:
         name = os.path.basename(img_path)
