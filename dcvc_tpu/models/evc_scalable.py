@@ -115,6 +115,35 @@ class ScalableEVC(nn.Module):
         }
 
 
+    # ---- real-coding surface (EvcCodecRuntime-compatible, given enc_id) ----
+
+    def prior_params(self, z_hat):
+        params = self.y_prior_fusion(self.hyper_dec(z_hat))
+        return priors.separate_prior(params)
+
+    def synthesize(self, y_hat, q_scale):
+        return self.dec(y_hat * self.get_curr_q(q_scale))
+
+    def compress_device(self, x, q_scale, forward_enc_id: int = 0):
+        _, y, curr_q = self.multi_encode(x, q_scale, forward_enc_id)
+        z = self.hyper_enc(y)
+        z_hat = jnp.round(z)
+        q_step, scales, means = self.prior_params(z_hat)
+        y_q_w0, y_q_w1, s_w0, s_w1, y_hat = priors.forward_dual_prior(
+            y, means, scales, q_step, self.spatial_prior_chunks, write=True)
+        x_hat = jnp.clip(self.dec(y_hat * curr_q), 0.0, 1.0)
+        return {
+            "z_hat": z_hat,
+            "y_q_planes": (y_q_w0, y_q_w1),
+            "scales_planes": (s_w0, s_w1),
+            "x_hat": x_hat,
+        }
+
+    def dual_scales_step1(self, q_step, scales, means, half0, half1):
+        return priors.dual_decode_scales(means, scales, q_step, half0, half1,
+                                         self.spatial_prior_chunks, 1)
+
+
 def choose_encoder_id(mse, bpp, rate_idx: int) -> int:
     """RD-cost argmin over the encoder bank (:149-157)."""
     lmbda = LMBDAS[rate_idx]

@@ -35,9 +35,11 @@ def build(name: str, seed: int = 0, **kwargs):
         params = module.init(key, x, jnp.ones(()))
         return module, params, EvcCodecRuntime(module, params)
     if name == "evc_scalable":
+        from .runtime import ScalableEvcRuntime
+
         module = evc_scalable.ScalableEVC(**kwargs)
         params = module.init(key, x, jnp.ones(()))
-        return module, params, EvcCodecRuntime(module, params)
+        return module, params, ScalableEvcRuntime(module, params)
     if name == "intra_dc":
         module = intra_dc.IntraNoAR(**kwargs)
         params = module.init(key, x, jnp.ones(()), jnp.ones(()))

@@ -753,6 +753,49 @@ class DmcRuntime(_RuntimeBase):
         }
 
 
+class ScalableEvcRuntime(EvcCodecRuntime):
+    """Scale_EVC: RD-cost encoder selection at encode time
+    (EVC/src/models/scalable_encoder_model.py:143-160). The chosen encoder
+    id is picked from the multi-encoder forward, then the stream is coded
+    with that encoder (decoder is encoder-agnostic)."""
+
+    def __init__(self, module, params, ec_thread=False, stream_part=1,
+                 rate_idx: int = 0):
+        super().__init__(module, params, ec_thread, stream_part)
+        m, mt = module, type(module)
+        self.rate_idx = rate_idx
+        self._fwd_all = jax.jit(lambda p, x, q: m.apply(p, x, q, None))
+        self._compress_dev = jax.jit(
+            lambda p, x, q, eid: m.apply(p, x, q, eid,
+                                         method=mt.compress_device),
+            static_argnums=(3,))
+
+    def forward(self, x, q_scale):
+        """Multi-encoder forward + RD argmin (the reference's no-stream path)."""
+        from .evc_scalable import choose_encoder_id
+
+        out = self._fwd_all(self.params, jnp.asarray(x), jnp.asarray(q_scale))
+        cid = choose_encoder_id(out["mse"], out["bpp"], self.rate_idx)
+        return {"x_hat": out["x_hat"][cid:cid + 1],
+                "bit": out["bit"][cid], "bpp": out["bpp"][cid:cid + 1],
+                "enc_id": cid}
+
+    def compress(self, x, q_scale):
+        from .evc_scalable import choose_encoder_id
+
+        out = self._fwd_all(self.params, jnp.asarray(x), jnp.asarray(q_scale))
+        cid = choose_encoder_id(out["mse"], out["bpp"], self.rate_idx)
+        dev = self._compress_dev(self.params, jnp.asarray(x),
+                                 jnp.asarray(q_scale), cid)
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z", dev["z_hat"])
+        for y_q, s in zip(dev["y_q_planes"], dev["scales_planes"]):
+            self._encode_y_plane(y_q, self._indexes(s))
+        self.entropy_coder.flush()
+        return {"bit_stream": self.entropy_coder.get_encoded_stream(),
+                "x_hat": dev["x_hat"], "enc_id": cid}
+
+
 class IntraDcRuntime(_RuntimeBase):
     """Runtime for IntraNoAR (DCVC-DC generation, four-part prior).
 
