@@ -62,17 +62,34 @@ def _freeze_mask(params, prefixes):
     return jax.tree_util.tree_unflatten(treedef, paths)
 
 
+def dmc_dc_adapter(module, params, x, dpb, lambdas, t):
+    """Apply adapter for the DC-generation DMC signature."""
+    B = x.shape[0]
+    qs = {k: jnp.ones((B, 1, 1, 1)) for k in ("mv_enc", "mv_dec",
+                                              "y_enc", "y_dec")}
+    return module.apply(params, x, dpb, qs, t, "ste")
+
+
+def hem_adapter(module, params, x, dpb, lambdas, t):
+    """Apply adapter for DMCHem / CANFVCDmc (scalar mv/y q_scales)."""
+    B = x.shape[0]
+    q = jnp.ones((B, 1, 1, 1))
+    return module.apply(params, x, dpb, q, q, "ste")
+
+
 class PFrameTrainer:
     """Trains a DMC-family module on clips [B, T, H, W, 3]."""
 
     def __init__(self, module, params, schedule=None, grad_clamp: float = 5.0,
-                 weight_decay: float = 1e-2, workdir: str = "out/train"):
+                 weight_decay: float = 1e-2, workdir: str = "out/train",
+                 apply_adapter=None):
         self.module = module
         self.params = params
         self.schedule = schedule or DEFAULT_SCHEDULE
         self.grad_clamp = grad_clamp
         self.weight_decay = weight_decay
         self.workdir = workdir
+        self.apply_adapter = apply_adapter or dmc_dc_adapter
         os.makedirs(workdir, exist_ok=True)
         self.history: list[dict] = []
 
@@ -85,24 +102,26 @@ class PFrameTrainer:
                                      weight_decay=self.weight_decay), mask),
         )
 
-        def loss_fn(params, clip, qs, lambdas):
+        apply_adapter = self.apply_adapter
+
+        def loss_fn(params, clip, lambdas):
             x0 = clip[:, 0]
             dpb = {"ref_frame": x0, "ref_feature": None,
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
             total = 0.0
             for t in range(1, stage.cascade_frames + 1):
                 x = clip[:, t]
-                out = module.apply(params, x, dpb, qs, t, "ste")
+                out = apply_adapter(module, params, x, dpb, lambdas, t)
                 total = total + rd_loss(x, out["dpb"]["ref_frame"],
                                         out["bpp"], lambdas)
-                dpb = out["dpb"]
+                dpb = dict(out["dpb"])
                 if stage.detach:
                     dpb = jax.tree.map(jax.lax.stop_gradient, dpb)
             return total / stage.cascade_frames
 
         @jax.jit
-        def step(params, opt_state, clip, qs, lambdas):
-            loss, grads = jax.value_and_grad(loss_fn)(params, clip, qs, lambdas)
+        def step(params, opt_state, clip, lambdas):
+            loss, grads = jax.value_and_grad(loss_fn)(params, clip, lambdas)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -121,10 +140,8 @@ class PFrameTrainer:
                     B = clip.shape[0]
                     levels = (np.arange(B) + global_step) % 4
                     lambdas = jnp.asarray(np.asarray(TRAIN_LAMBDAS)[levels])
-                    qs = {k: jnp.ones((B, 1, 1, 1))
-                          for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
                     self.params, opt_state, loss = step(
-                        self.params, opt_state, jnp.asarray(clip), qs, lambdas)
+                        self.params, opt_state, jnp.asarray(clip), lambdas)
                     losses.append(float(loss))
                     global_step += 1
                     if global_step % log_every == 0:

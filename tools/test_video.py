@@ -77,11 +77,16 @@ def main():
 
         q_indexes = [int(v) for v in np.linspace(0, 63, args.rate_num)]
 
+    # pad-to-multiple contract: DC generation pads to 16, older gens to 64
+    # (reference test_video.py per-repo padding)
+    pad_multiple = 16 if args.p_frame_model in ("dmc_dc", None) else 64
+
     results = {}
     t0 = time.time()
     for seq in specs:
         for rate_idx, q in enumerate(q_indexes):
             cfg = EvalConfig(
+                pad_multiple=pad_multiple,
                 intra_period=(1 if args.force_intra else
                               (args.force_intra_period or seq.gop)),
                 frame_num=(args.force_frame_num if args.force_frame_num > 0
