@@ -20,7 +20,7 @@ import jax
 
 # persistent compilation cache: the DMC program is large and the remote AOT
 # compile is slow; cache compiled executables across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dcvc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
 
