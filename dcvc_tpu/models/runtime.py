@@ -42,9 +42,15 @@ class _RuntimeBase:
         return {"params": self.params["params"][name]}
 
     def update(self, force: bool = False):
+        from ..entropy.coder import AsyncEntropyCoder
+
         if self.entropy_coder is not None and not force:
             return
-        self.entropy_coder = EntropyCoder(self.ec_thread, self.stream_part)
+        # ec_thread: encode work runs on a background thread, overlapping the
+        # device compute of subsequent frames (reference X5 / rans.cpp:174-263)
+        self.entropy_coder = (AsyncEntropyCoder(self.stream_part)
+                              if self.ec_thread
+                              else EntropyCoder(False, self.stream_part))
         self.gaussian = GaussianConditionalCoder(distribution=self.y_distribution)
         self.gaussian.update(force=True)
         for name, channels in self._z_estimators():

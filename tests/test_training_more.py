@@ -1,0 +1,50 @@
+"""Additional trainer coverage: HEM adapter + intra RD step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcvc_tpu.models.evc import EVCIntra
+from dcvc_tpu.models.video_hem import DMCHem
+from dcvc_tpu.training.data import SyntheticClips
+from dcvc_tpu.training.step import make_intra_train_step, make_optimizer
+from dcvc_tpu.training.trainer import PFrameTrainer, Stage, hem_adapter
+
+
+def test_hem_trainer_smoke(tmp_path):
+    module = DMCHem(channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_y": None, "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x, dpb, jnp.ones(()),
+                         jnp.ones(()))
+    trainer = PFrameTrainer(module, params,
+                            schedule=[Stage("smoke", 1, cascade_frames=1)],
+                            workdir=str(tmp_path), apply_adapter=hem_adapter)
+    data = SyntheticClips(crop=64, frames=2)
+    before = np.asarray(
+        params["params"]["contextual_encoder"]["conv1"]["kernel"]).copy()
+    new_params = trainer.fit(data, batch_size=2, steps_per_epoch=2,
+                             save_every_epoch=False)
+    after = np.asarray(
+        new_params["params"]["contextual_encoder"]["conv1"]["kernel"])
+    assert not np.allclose(before, after)
+    assert np.isfinite(trainer.history[-1]["loss"])
+
+
+def test_intra_train_step():
+    module = EVCIntra(enc_channels=(8, 8, 16, 32), dec_channels=(8, 8, 16, 32),
+                      N=32)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = module.init(jax.random.PRNGKey(0), x[:1], jnp.ones(()))
+    optimizer = make_optimizer()
+    step = jax.jit(make_intra_train_step(module, optimizer))
+    opt_state = optimizer.init(params)
+    clip = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                       jnp.float32)
+    lambdas = jnp.asarray([85.0, 380.0])
+    q = jnp.ones((2, 1, 1, 1))
+    new_params, opt_state, aux = step(params, opt_state, clip, q, lambdas)
+    assert np.isfinite(float(aux["loss"]))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        params, new_params)
+    assert max(jax.tree.leaves(diff)) > 0
