@@ -13,12 +13,21 @@ Parity targets:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# DCVC_TPU_WARP_BARRIER=1 isolates each warp's gathers behind
+# optimization_barriers so XLA cannot fuse them into serial loop fusions
+# with surrounding elementwise work (whole-program TPU pathology A/B knob).
+_WARP_BARRIER = bool(int(os.environ.get("DCVC_TPU_WARP_BARRIER", "0")))
 
 
 def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp ``im`` [B,H,W,C] by ``flow`` [B,H,W,2] (fx, fy) pixels."""
+    if _WARP_BARRIER:
+        im, flow = jax.lax.optimization_barrier((im, flow))
     B, H, W, C = im.shape
     xs = jnp.arange(W, dtype=flow.dtype)[None, None, :] + flow[..., 0]
     ys = jnp.arange(H, dtype=flow.dtype)[None, :, None] + flow[..., 1]
@@ -46,7 +55,10 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     wy = wy[..., None]
     top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x1i) * wx
     bot = gather(y1i, x0i) * (1 - wx) + gather(y1i, x1i) * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    if _WARP_BARRIER:
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
