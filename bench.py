@@ -29,7 +29,21 @@ from dcvc_tpu.models.video_dc import DMC
 REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
 
 
+def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
+    """The axon chip claim can linger after a killed client; retry."""
+    for i in range(max_tries):
+        try:
+            jax.block_until_ready(jnp.ones((8, 8)).sum())
+            return
+        except Exception as e:  # noqa: BLE001
+            print(f"# device probe failed ({i + 1}/{max_tries}): {e}",
+                  flush=True)
+            time.sleep(delay)
+    raise RuntimeError("accelerator unavailable")
+
+
 def main():
+    _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
     # bf16 compute (f32 params): the TPU-idiomatic inference dtype; f32
     # activations at 1080p exceed single-chip HBM in the grouped warp
