@@ -36,6 +36,7 @@ class Stage:
     detach: bool = True
     trainable_prefixes: tuple = ()  # empty = train everything
     lr: float = 1e-4
+    remat: bool = False  # jax.checkpoint each frame apply (memory vs FLOPs)
 
 
 # default schedule following the fork's phase progression
@@ -103,6 +104,13 @@ class PFrameTrainer:
         )
 
         apply_adapter = self.apply_adapter
+        if stage.remat:
+            inner = apply_adapter
+
+            def apply_adapter(module, params, x, dpb, lambdas, t):
+                return jax.checkpoint(
+                    lambda p, x, dpb: inner(module, p, x, dpb, lambdas, t),
+                    static_argnums=())(params, x, dpb)
 
         def loss_fn(params, clip, lambdas):
             x0 = clip[:, 0]

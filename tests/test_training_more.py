@@ -48,3 +48,18 @@ def test_intra_train_step():
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                         params, new_params)
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_trainer_remat_stage(tmp_path):
+    module = DMCHem(channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_y": None, "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x, dpb, jnp.ones(()),
+                         jnp.ones(()))
+    trainer = PFrameTrainer(
+        module, params,
+        schedule=[Stage("remat", 1, cascade_frames=1, remat=True)],
+        workdir=str(tmp_path), apply_adapter=hem_adapter)
+    data = SyntheticClips(crop=64, frames=2)
+    trainer.fit(data, batch_size=1, steps_per_epoch=1, save_every_epoch=False)
+    assert np.isfinite(trainer.history[-1]["loss"])
