@@ -69,7 +69,56 @@ def main():
         return out
 
     out_i = report("I-dpb", dpb_i)
-    report("P-dpb", out_i)
+    out_p = report("P-dpb", out_i)
+
+    # split-program variant: mv+motion stage | y+recon stage, chained at the
+    # Python level — isolates whole-program fusion/scheduling pathologies
+    from dcvc_tpu.models import priors
+    from dcvc_tpu.models.intra_dc import pad_for_y
+
+    def stage_a(p, x, dpb, qs):
+        def go(m, x, dpb, qs):
+            mv_y_q_enc = m.mv_y_q_basic_enc * qs["mv_enc"]
+            mv_y, mv_z, ss = m._mv_branch_analysis(x, dpb, mv_y_q_enc)
+            mv_z_hat = jnp.round(mv_z)
+            mv_params = m.mv_prior_param_decoder(mv_z_hat, dpb["ref_mv_y"], ss)
+            _, _, mv_y_hat, _ = priors.forward_four_part_prior(
+                mv_y, mv_params, m.spatial_prior_fns("mv"))
+            mv_hat, mv_feature = m.mv_decoder(
+                mv_y_hat, m.mv_y_q_basic_dec * qs["mv_dec"])
+            c1, c2, c3, _ = m.motion_compensation(dpb, mv_hat, 1)
+            return c1, c2, c3, mv_y_hat, mv_feature
+        return module.apply(p, x, dpb, qs, method=go)
+
+    def stage_b(p, x, dpb, qs, ctx):
+        def go(m, x, dpb, qs, ctx):
+            c1, c2, c3 = ctx
+            y = m.contextual_encoder(x, c1, c2, c3,
+                                     m.y_q_basic_enc * qs["y_enc"])
+            y_pad, ss = pad_for_y(y)
+            z = m.contextual_hyper_prior_encoder(y_pad)
+            z_hat = jnp.round(z)
+            pr = m.res_prior_param_decoder(z_hat, dpb["ref_y"], c3, ss)
+            _, _, y_hat, _ = priors.forward_four_part_prior(
+                y, pr, m.spatial_prior_fns("y"))
+            x_hat, feature = m.get_recon_and_feature(
+                y_hat, c1, c2, c3, m.y_q_basic_dec * qs["y_dec"])
+            return x_hat, feature, y_hat
+        return module.apply(p, x, dpb, qs, ctx, method=go)
+
+    ja = jax.jit(stage_a)
+    jb = jax.jit(stage_b)
+    t0 = time.time()
+    c1, c2, c3, mv_y_hat, mv_feature = ja(params, x, out_i, qs)
+    x_hat, feature, y_hat = jb(params, x, out_i, qs, (c1, c2, c3))
+    jax.block_until_ready(x_hat)
+    print(f"split: compile+run {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(3):
+        c1, c2, c3, mv_y_hat, mv_feature = ja(params, x, out_i, qs)
+        x_hat, feature, y_hat = jb(params, x, out_i, qs, (c1, c2, c3))
+    jax.block_until_ready(x_hat)
+    print(f"split steady: {(time.time() - t0) / 3 * 1000:.0f} ms", flush=True)
 
 
 if __name__ == "__main__":
