@@ -65,25 +65,30 @@ def main():
     @jax.jit
     def p_frame(p, x, dpb, qs):
         out = module.apply(p, x, dpb, qs, 1)
-        return out["dpb"], out["bit"]
+        # scalar probe: the final host readback of this value cannot complete
+        # before the whole chain has executed (block_until_ready alone does
+        # not reliably block on remote-tunnel platforms)
+        return out["dpb"], out["bit"], jnp.sum(out["dpb"]["ref_frame"])
 
     key = jax.random.PRNGKey(1)
     frame = jax.random.uniform(key, (1, H, W, 3), jnp.float32)
 
     # build steady-state dpb (all entries present), then time
-    dpb, _ = p_frame(params, frame, dpb0, qs)
-    jax.block_until_ready(dpb)
+    dpb, _, probe = p_frame(params, frame, dpb0, qs)
+    _ = float(probe)
 
     n_warm, n_iter = 2, 8
-    for _ in range(n_warm):
-        dpb2, bit = p_frame(params, frame, dpb, qs)
-        jax.block_until_ready(dpb2)
-
-    t0 = time.time()
     cur = dpb
+    for _ in range(n_warm):
+        cur, bit, probe = p_frame(params, frame, cur, qs)
+    _ = float(probe)
+
+    # timing: chain n_iter DEPENDENT frames (dpb feeds the next call, exactly
+    # the real GOP recurrence), then one host readback of the scalar probe
+    t0 = time.time()
     for _ in range(n_iter):
-        cur, bit = p_frame(params, frame, cur, qs)
-    jax.block_until_ready(cur)
+        cur, bit, probe = p_frame(params, frame, cur, qs)
+    _ = float(probe)
     dt = (time.time() - t0) / n_iter
 
     fps = 1.0 / dt

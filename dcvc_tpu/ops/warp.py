@@ -22,23 +22,31 @@ import jax.numpy as jnp
 # optimization_barriers so XLA cannot fuse them into serial loop fusions
 # with surrounding elementwise work (whole-program TPU pathology A/B knob).
 _WARP_BARRIER = bool(int(os.environ.get("DCVC_TPU_WARP_BARRIER", "0")))
+# warp gather formulation: "rowpair" (default) gathers both horizontal taps
+# of each bilinear row in ONE [1,2,C] slice on an edge-padded operand — 2
+# gathers total, measured ~6x faster than "naive" per-tap advanced indexing
+# on TPU v5e, where XLA issues one serial loop step per gather slice (~17ns
+# each), so halving slice count halves runtime. Other formulations tested on
+# v5e and rejected: [2,2,C] block slices and (W,C)-flattened [2,2C] slices
+# are MISCOMPILED by the TPU gather lowering (wrong values); bf16 operands
+# with >1-element slices hit a further pathological path in some forms.
+# ("naive" kept for A/B and as the reference semantics definition.)
+_WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "rowpair")
 
 
-def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Backward-warp ``im`` [B,H,W,C] by ``flow`` [B,H,W,2] (fx, fy) pixels."""
-    if _WARP_BARRIER:
-        im, flow = jax.lax.optimization_barrier((im, flow))
-    B, H, W, C = im.shape
+def _warp_indices(H, W, flow):
     xs = jnp.arange(W, dtype=flow.dtype)[None, None, :] + flow[..., 0]
     ys = jnp.arange(H, dtype=flow.dtype)[None, :, None] + flow[..., 1]
-
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
-    wx = xs - x0
-    wy = ys - y0
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), wx, wy
 
-    x0r = x0.astype(jnp.int32)
-    y0r = y0.astype(jnp.int32)
+
+def _flow_warp_naive(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = im.shape
+    x0r, y0r, wx, wy = _warp_indices(H, W, flow)
     x0i = jnp.clip(x0r, 0, W - 1)
     x1i = jnp.clip(x0r + 1, 0, W - 1)
     y0i = jnp.clip(y0r, 0, H - 1)
@@ -51,11 +59,54 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         b = jnp.arange(B)[:, None, None]
         return im[b, yy, xx]  # [B,H,W,C]
 
-    wx = wx[..., None]
-    wy = wy[..., None]
+    wx = wx.astype(im.dtype)
+    wy = wy.astype(im.dtype)
     top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x1i) * wx
     bot = gather(y1i, x0i) * (1 - wx) + gather(y1i, x1i) * wx
-    out = top * (1 - wy) + bot * wy
+    return top * (1 - wy) + bot * wy
+
+
+def _flow_warp_rowpair(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Both horizontal taps of each bilinear row in one gather slice:
+    operand [B, H, W+2, C] (1-texel horizontal edge pad), slice [1,1,2,C]
+    at (y, x0+1); two gathers (top row y0, bottom row y0+1). Start columns
+    clamped to -1 before the pad shift, so out-of-range samples land on the
+    duplicated edge texel and reproduce grid_sample border semantics exactly
+    (both taps collapse to the edge when the source is outside the image)."""
+    B, H, W, C = im.shape
+    x0r, y0r, wx, wy = _warp_indices(H, W, flow)
+    imp = jnp.pad(im, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    x0p = jnp.clip(x0r, -1, W - 1) + 1
+    y0i = jnp.clip(y0r, 0, H - 1)
+    y1i = jnp.clip(y0r + 1, 0, H - 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(), start_indices_batching_dims=())
+
+    def g1(op, ix):
+        return jax.lax.gather(op[None], ix, dn, slice_sizes=(1, 1, 2, C),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    idx_t = jnp.stack([y0i, x0p], axis=-1).reshape(B, H * W, 2)
+    idx_b = jnp.stack([y1i, x0p], axis=-1).reshape(B, H * W, 2)
+    tt = jax.vmap(g1)(imp, idx_t).reshape(B, H, W, 2, C)
+    bb = jax.vmap(g1)(imp, idx_b).reshape(B, H, W, 2, C)
+    wx = wx.astype(im.dtype)
+    wy = wy.astype(im.dtype)
+    top = tt[:, :, :, 0] * (1 - wx) + tt[:, :, :, 1] * wx
+    bot = bb[:, :, :, 0] * (1 - wx) + bb[:, :, :, 1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp ``im`` [B,H,W,C] by ``flow`` [B,H,W,2] (fx, fy) pixels."""
+    if _WARP_BARRIER:
+        im, flow = jax.lax.optimization_barrier((im, flow))
+    if _WARP_IMPL == "naive":
+        out = _flow_warp_naive(im, flow)
+    else:
+        out = _flow_warp_rowpair(im, flow)
     if _WARP_BARRIER:
         out = jax.lax.optimization_barrier(out)
     return out

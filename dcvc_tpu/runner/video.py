@@ -138,10 +138,10 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                 t1 = time.time()
                 dpb = out["dpb"]
                 x_hat = dpb["ref_frame"]
-        x_hat.block_until_ready()
-        t2 = time.time()
-
+        # host readback is the only reliable sync on remote-tunnel platforms
+        # (block_until_ready can return before execution completes there)
         recon = _crop_frame(np.asarray(x_hat[0]), pad, seq.height, seq.width)
+        t2 = time.time()
         fr = {"bits": float(bit), "bpp": float(bit) / pixel_num,
               "encoding_time": t1 - t0, "decoding_time": t2 - t1}
         if cfg.yuv420_metrics or seq.src_type != "png":
