@@ -22,16 +22,20 @@ import jax.numpy as jnp
 # optimization_barriers so XLA cannot fuse them into serial loop fusions
 # with surrounding elementwise work (whole-program TPU pathology A/B knob).
 _WARP_BARRIER = bool(int(os.environ.get("DCVC_TPU_WARP_BARRIER", "0")))
-# warp gather formulation: "rowpair" (default) gathers both horizontal taps
-# of each bilinear row in ONE [1,2,C] slice on an edge-padded operand — 2
-# gathers total, measured ~6x faster than "naive" per-tap advanced indexing
-# on TPU v5e, where XLA issues one serial loop step per gather slice (~17ns
-# each), so halving slice count halves runtime. Other formulations tested on
-# v5e and rejected: [2,2,C] block slices and (W,C)-flattened [2,2C] slices
-# are MISCOMPILED by the TPU gather lowering (wrong values); bf16 operands
-# with >1-element slices hit a further pathological path in some forms.
-# ("naive" kept for A/B and as the reference semantics definition.)
-_WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "rowpair")
+# warp gather formulation. The TPU gather unit issues ~1 slice per ~16
+# cycles REGARDLESS of slice width (measured 17-19ns/slice for 6..384-byte
+# slices on v5e), so minimizing slice count is everything:
+#   "packed" (default): 1 slice per output pixel — row pairs packed into
+#       channels, [1,2,2C] slices (~12x naive).
+#   "rowpair": 2 slices per pixel, [1,2,C] (~6x naive).
+#   "naive": 4 advanced-indexing gathers — the reference semantics
+#       definition, kept for A/B.
+# Rejected after measurement on v5e: [2,2,C] / flattened [2,2C] slices are
+# MISCOMPILED (wrong values); [2,3,C] slices are correct but 140x slower
+# (multi-row slices leave the fast path); batched (B>=2) multi-element-slice
+# gathers SIGILL the compiler's layout assignment (hence the lax.map below);
+# Mosaic scalar-loop gathers run ~150ns/elem (no Pallas win available).
+_WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "packed")
 
 
 def _warp_indices(H, W, flow):
@@ -99,14 +103,63 @@ def _flow_warp_rowpair(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def _flow_warp_packed(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """All FOUR bilinear taps from one single-row gather slice: the operand
+    packs each row pair into channels, A[r] = concat(im[r], im[r+1]) (bottom
+    row edge-clamped), after a 1-texel horizontal edge pad. A [1,2,2C] slice
+    at (y0, x0+1) then carries (y0,x0),(y0,x0+1),(y0+1,x0),(y0+1,x0+1).
+    Halves gather-slice count vs the rowpair form — the TPU gather unit
+    issues ~1 slice per ~16 cycles regardless of slice width, so slice count
+    is the only cost that matters. Border semantics: horizontal handled by
+    the edge pad + clamp-to--1 (out-of-range taps collapse to the edge
+    texel); vertical by clamping y0 to [0, H-1] plus forcing wy=0 when
+    y0 < 0 (both torch taps collapse to row 0 there, while our packed pair
+    at row 0 is (row0, row1))."""
+    B, H, W, C = im.shape
+    x0r, y0r, wx, wy = _warp_indices(H, W, flow)
+    imp = jnp.pad(im, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    down = jnp.concatenate([imp[:, 1:], imp[:, -1:]], axis=1)
+    packed = jnp.concatenate([imp, down], axis=-1)  # [B, H, W+2, 2C]
+    x0p = jnp.clip(x0r, -1, W - 1) + 1
+    y0i = jnp.clip(y0r, 0, H - 1)
+    wy = jnp.where(y0r[..., None] < 0, 0.0, wy)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(), start_indices_batching_dims=())
+
+    def g1(op, ix):
+        return jax.lax.gather(op[None], ix, dn, slice_sizes=(1, 1, 2, 2 * C),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    idx = jnp.stack([y0i, x0p], axis=-1).reshape(B, H * W, 2)
+    taps = jax.vmap(g1)(packed, idx).reshape(B, H, W, 2, 2, C)
+    wx = wx.astype(im.dtype)
+    wy = wy.astype(im.dtype)
+    top = taps[:, :, :, 0, 0] * (1 - wx) + taps[:, :, :, 1, 0] * wx
+    bot = taps[:, :, :, 0, 1] * (1 - wx) + taps[:, :, :, 1, 1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp ``im`` [B,H,W,C] by ``flow`` [B,H,W,2] (fx, fy) pixels."""
     if _WARP_BARRIER:
         im, flow = jax.lax.optimization_barrier((im, flow))
-    if _WARP_IMPL == "naive":
+    impl = _WARP_IMPL
+    if impl == "naive":
         out = _flow_warp_naive(im, flow)
+    elif im.shape[0] == 1:
+        out = (_flow_warp_rowpair if impl == "rowpair" else
+               _flow_warp_packed)(im, flow)
     else:
-        out = _flow_warp_rowpair(im, flow)
+        # XLA:TPU's layout assignment SIGILLs on BATCHED multi-element-slice
+        # gathers (any B >= 2, any C — verified empirically on v5e), so batch
+        # elements go through the fast B=1 rowpair path under lax.map. The
+        # gather issue rate (~17ns/slice) is the bottleneck either way, so
+        # serializing the batch loses nothing.
+        fn = _flow_warp_rowpair if impl == "rowpair" else _flow_warp_packed
+        out = jax.lax.map(
+            lambda ab: fn(ab[0][None], ab[1][None])[0], (im, flow))
     if _WARP_BARRIER:
         out = jax.lax.optimization_barrier(out)
     return out
