@@ -24,6 +24,17 @@ from ..ops.warp import get_downsampled_shape
 from . import priors
 
 
+def _build_indexes_i16(g: "GaussianConditionalCoder"):
+    """Jittable log-scale bucketing emitting int16 (minimal readback bytes)."""
+
+    def fn(scales):
+        s = jnp.maximum(scales.astype(jnp.float32), 1e-5)
+        idx = (jnp.log(s) - g.log_scale_min) / g.log_scale_step
+        return jnp.clip(idx, 0, g.scale_level - 1).astype(jnp.int16)
+
+    return fn
+
+
 class _RuntimeBase:
     """Shared machinery: entropy coder + baked tables."""
 
@@ -643,70 +654,119 @@ class DmcRuntime(_RuntimeBase):
         super().__init__(module, params, ec_thread, stream_part)
         m, mt = module, type(module)
 
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        idx16 = _build_indexes_i16(_g)
+
+        # frame_idx is TRACED (int32), so one executable serves all four
+        # adaptor phases — a static frame_idx compiles 4 variants and
+        # program-swaps between them (seconds per swap on remote TPU).
         self._fwd = jax.jit(
-            lambda p, x, dpb, qs, fi: m.apply(p, x, dpb, qs, fi),
-            static_argnums=(4,))
-        self._compress_dev = jax.jit(
-            lambda p, x, dpb, qs, fi: m.apply(p, x, dpb, qs, fi,
-                                              method=mt.compress_device),
-            static_argnums=(4,))
+            lambda p, x, dpb, qs, fi: m.apply(p, x, dpb, qs, fi))
+
+        def compress_packed(p, x, dpb, qs, fi):
+            out = m.apply(p, x, dpb, qs, fi, method=mt.compress_device)
+            planes = (list(out["mv_y_q_planes"]) + list(out["y_q_planes"]))
+            scales = (list(out["mv_scales_planes"]) + list(out["scales_planes"]))
+            # EVERYTHING the host needs in ONE flat f32 vector: a single
+            # full-array f32 readback is the only reliably-fast host
+            # transfer on remote-tunnel platforms (scalars, slices, int16
+            # and multi-array reads all hit pathological paths). Symbols
+            # and bucket indexes are small integers — exact in f32.
+            segs = [out["mv_z_hat"].astype(jnp.float32).reshape(-1),
+                    out["z_hat"].astype(jnp.float32).reshape(-1)]
+            segs += [jnp.clip(q.astype(jnp.float32), -30000, 30000).reshape(-1)
+                     for q in planes]
+            segs += [idx16(s).astype(jnp.float32).reshape(-1) for s in scales]
+            return {"dpb": out["dpb"], "packed": jnp.concatenate(segs)}
+
+        self._compress_dev = jax.jit(compress_packed)
         self._mv_prior = jax.jit(
             lambda p, z, refmv, yh, yw: m.apply(p, z, refmv, yh, yw,
                                                 method=mt.decode_mv_prior),
             static_argnums=(3, 4))
-        self._scales_step = jax.jit(
-            lambda p, pr, sofar, step, which: m.apply(
-                p, pr, sofar, step, which, method=mt.decode_scales_step),
-            static_argnums=(3, 4))
+
+        def scales_step_idx(p, pr, sofar, step, which):
+            scales_r, means_parts = m.apply(p, pr, sofar, step, which,
+                                            method=mt.decode_scales_step)
+            # f32 output: the only reliably-fast readback path (see compress)
+            return idx16(scales_r).astype(jnp.float32), tuple(means_parts)
+
+        self._scales_step = jax.jit(scales_step_idx, static_argnums=(3, 4))
         self._update_step = jax.jit(
             lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
-                pr, sofar, yq, mp, step), static_argnums=(4,))
+                pr, sofar, yq.astype(pr.dtype), mp, step),
+            static_argnums=(4,))
         self._motion_stage = jax.jit(
             lambda p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw: m.apply(
                 p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw,
                 method=mt.decode_motion_stage),
-            static_argnums=(6, 7, 8))
+            static_argnums=(7, 8))
         self._recon_stage = jax.jit(
             lambda p, pr, sofar, ctx, yqd: m.apply(
                 p, pr, sofar, ctx, yqd, method=mt.decode_recon_stage))
-        _g = GaussianConditionalCoder(distribution=self.y_distribution)
-        self._indexes = jax.jit(_g.build_indexes)
 
         from .video_dc import get_dmc_q_tables
         self.fine_q = get_dmc_q_tables(params)
+        # host copies of the anchor q_scale params (reading device params
+        # per-frame would add a tunnel readback to every call)
+        self._q_anchor = {
+            n: np.asarray(params["params"][n]).reshape(-1)
+            for n in ("mv_y_q_scale_enc", "mv_y_q_scale_dec",
+                      "y_q_scale_enc", "y_q_scale_dec")}
+        # device-resident constants: per-frame device_put uploads of tiny
+        # scalars interleave badly with big-program dispatch on remote
+        # tunnels, so cache them once
+        self._fi_dev = [jnp.asarray(i, jnp.int32) for i in range(4)]
+        self._qs_cache: dict = {}
 
     def _z_estimators(self):
         from .video_dc import G_CH
         return [("bit_estimator_z", G_CH["16x"]), ("bit_estimator_z_mv", 64)]
 
     def get_q_for_inference(self, q_in_ckpt: bool, q_index: int) -> dict:
-        p = self.params["params"]
+        key = (q_in_ckpt, q_index)
+        if key in self._qs_cache:
+            return self._qs_cache[key]
         names = {"mv_enc": "mv_y_q_scale_enc", "mv_dec": "mv_y_q_scale_dec",
                  "y_enc": "y_q_scale_enc", "y_dec": "y_q_scale_dec"}
         out = {}
         for k, n in names.items():
             if q_in_ckpt:
-                out[k] = jnp.asarray(np.asarray(p[n]).reshape(-1)[q_index],
-                                     jnp.float32)
+                out[k] = jnp.asarray(self._q_anchor[n][q_index], jnp.float32)
             else:
                 out[k] = jnp.asarray(self.fine_q[n][q_index], jnp.float32)
+        self._qs_cache[key] = out
         return out
 
     def forward_one_frame(self, x, dpb, q_in_ckpt=False, q_index=0, frame_idx=0):
         qs = self.get_q_for_inference(q_in_ckpt, q_index)
-        return self._fwd(self.params, jnp.asarray(x), dpb, qs, frame_idx % 4)
+        return self._fwd(self.params, jnp.asarray(x), dpb, qs,
+                         self._fi_dev[frame_idx % 4])
 
     def compress(self, x, dpb, q_in_ckpt: bool, q_index: int, frame_idx: int):
         qs = self.get_q_for_inference(q_in_ckpt, q_index)
-        out = self._compress_dev(self.params, jnp.asarray(x), dpb, qs,
-                                 frame_idx % 4)
+        x = jnp.asarray(x)
+        out = self._compress_dev(self.params, x, dpb, qs,
+                                 self._fi_dev[frame_idx % 4])
+        packed = np.asarray(out["packed"])
+        yh, yw = x.shape[1] // 16, x.shape[2] // 16
+        zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
+        from .video_dc import G_CH
+        n_mv_z, n_z = zh * zw * 64, zh * zw * G_CH["16x"]
+        sizes = [yh * yw * (64 // 4)] * 4 + [yh * yw * (G_CH["16x"] // 4)] * 4
+        n_sym = sum(sizes)
+        mv_z = packed[:n_mv_z].reshape(1, zh, zw, 64)
+        z = packed[n_mv_z:n_mv_z + n_z].reshape(1, zh, zw, G_CH["16x"])
+        sym = packed[n_mv_z + n_z:n_mv_z + n_z + n_sym]
+        idx = packed[n_mv_z + n_z + n_sym:].astype(np.int16)
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
-        self._encode_z("bit_estimator_z", out["z_hat"])
-        for y_q, s in zip(out["mv_y_q_planes"], out["mv_scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
-        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
+        self._encode_z("bit_estimator_z_mv", mv_z)
+        self._encode_z("bit_estimator_z", z)
+        start = 0
+        for n in sizes:
+            self.gaussian.encode_with_indexes(
+                self.entropy_coder, sym[start:start + n], idx[start:start + n])
+            start += n
         self.entropy_coder.flush()
         return {
             "dpb": out["dpb"],
@@ -717,11 +777,12 @@ class DmcRuntime(_RuntimeBase):
         B, yh, yw = params.shape[0], params.shape[1], params.shape[2]
         so_far = jnp.zeros((B, yh, yw, channels), params.dtype)
         for step in range(4):
-            scales_r, means_parts = self._scales_step(self.params, params,
-                                                      so_far, step, which)
+            idx_r, means_parts = self._scales_step(self.params, params,
+                                                   so_far, step, which)
+            idx_np = np.asarray(idx_r)
             y_q_r = jnp.asarray(
-                self._decode_y_plane(self._indexes(scales_r))
-                .reshape(scales_r.shape))
+                self.gaussian.decode_with_indexes(self.entropy_coder, idx_np)
+                .astype(np.float32))
             so_far = self._update_step(params, so_far, y_q_r,
                                        tuple(means_parts), step)
         return so_far
@@ -744,7 +805,7 @@ class DmcRuntime(_RuntimeBase):
         mv_sofar = self._decode_four_part(mv_params, 64, "mv")
         y_params, contexts, mv_y_hat, mv_feature = self._motion_stage(
             self.params, mv_params, mv_sofar, qs["mv_dec"], dpb, z_hat,
-            frame_idx % 4, yh, yw)
+            self._fi_dev[frame_idx % 4], yh, yw)
         y_sofar = self._decode_four_part(y_params, G_CH["16x"], "y")
         x_hat, feature, y_hat = self._recon_stage(self.params, y_params,
                                                   y_sofar, contexts, qs["y_dec"])
@@ -815,28 +876,46 @@ class IntraDcRuntime(_RuntimeBase):
         super().__init__(module, params, ec_thread, stream_part)
         m, mt = module, type(module)
 
+        _g = GaussianConditionalCoder(distribution=self.y_distribution)
+        idx16 = _build_indexes_i16(_g)
+
         self._fwd = jax.jit(lambda p, x, qe, qd: m.apply(p, x, qe, qd))
-        self._compress_dev = jax.jit(
-            lambda p, x, qe, qd: m.apply(p, x, qe, qd, method=mt.compress_device))
+
+        def compress_packed(p, x, qe, qd):
+            out = m.apply(p, x, qe, qd, method=mt.compress_device)
+            sym = jnp.concatenate(
+                [jnp.clip(q.astype(jnp.float32), -30000, 30000)
+                 .astype(jnp.int16).reshape(-1) for q in out["y_q_planes"]])
+            idx = jnp.concatenate([idx16(s).reshape(-1)
+                                   for s in out["scales_planes"]])
+            return {"x_hat": out["x_hat"],
+                    "z_i16": out["z_hat"].astype(jnp.int16),
+                    "sym": sym, "idx": idx}
+
+        self._compress_dev = jax.jit(compress_packed)
         self._prior = jax.jit(
             lambda p, z, yh, yw: m.apply(p, z, yh, yw, method=mt.decode_prior),
             static_argnums=(2, 3))
-        self._scales_step = jax.jit(
-            lambda p, pr, sofar, step: m.apply(p, pr, sofar, step,
-                                               method=mt.decode_scales_step),
-            static_argnums=(3,))
+
+        def scales_step_idx(p, pr, sofar, step):
+            scales_r, means_parts = m.apply(p, pr, sofar, step,
+                                            method=mt.decode_scales_step)
+            return idx16(scales_r).astype(jnp.float32), tuple(means_parts)
+
+        self._scales_step = jax.jit(scales_step_idx, static_argnums=(3,))
         self._update_step = jax.jit(
             lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
-                pr, sofar, yq, mp, step), static_argnums=(4,))
+                pr, sofar, yq.astype(pr.dtype), mp, step),
+            static_argnums=(4,))
         self._synth = jax.jit(
             lambda p, pr, sofar, qd: m.apply(p, pr, sofar, qd,
                                              method=mt.decode_synthesis))
-        _g = GaussianConditionalCoder(distribution=self.y_distribution)
-        self._indexes = jax.jit(_g.build_indexes)
 
         # fine q tables are derived from the anchor q_scale params at load
         from .intra_dc import build_fine_q_tables
         p = params["params"]
+        self._q_anchor = {n: np.asarray(p[n]).reshape(-1)
+                          for n in ("q_scale_enc", "q_scale_dec")}
         self.q_scale_enc_fine = build_fine_q_tables(np.asarray(p["q_scale_enc"]))
         self.q_scale_dec_fine = build_fine_q_tables(np.asarray(p["q_scale_dec"]))
 
@@ -844,10 +923,9 @@ class IntraDcRuntime(_RuntimeBase):
         return [("bit_estimator_z", self.module.N)]
 
     def get_q_for_inference(self, q_in_ckpt: bool, q_index: int):
-        p = self.params["params"]
         if q_in_ckpt:
-            qe = np.asarray(p["q_scale_enc"]).reshape(-1)[q_index]
-            qd = np.asarray(p["q_scale_dec"]).reshape(-1)[q_index]
+            qe = self._q_anchor["q_scale_enc"][q_index]
+            qd = self._q_anchor["q_scale_dec"][q_index]
         else:
             qe = self.q_scale_enc_fine[q_index]
             qd = self.q_scale_dec_fine[q_index]
@@ -859,11 +937,18 @@ class IntraDcRuntime(_RuntimeBase):
 
     def compress(self, x, q_in_ckpt: bool, q_index: int):
         qe, qd = self.get_q_for_inference(q_in_ckpt, q_index)
-        out = self._compress_dev(self.params, jnp.asarray(x), qe, qd)
+        x = jnp.asarray(x)
+        out = self._compress_dev(self.params, x, qe, qd)
+        sym = np.asarray(out["sym"])
+        idx = np.asarray(out["idx"])
+        yh, yw = x.shape[1] // 16, x.shape[2] // 16
+        n = yh * yw * (self.module.N // 4)
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z", out["z_hat"])
-        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
+        self._encode_z("bit_estimator_z", out["z_i16"])
+        for i in range(4):
+            self.gaussian.encode_with_indexes(
+                self.entropy_coder, sym[i * n:(i + 1) * n],
+                idx[i * n:(i + 1) * n])
         self.entropy_coder.flush()
         return {
             "bit_stream": self.entropy_coder.get_encoded_stream(),
@@ -881,11 +966,12 @@ class IntraDcRuntime(_RuntimeBase):
 
         so_far = jnp.zeros((1, yh, yw, self.module.N), params.dtype)
         for step in range(4):
-            scales_r, means_parts = self._scales_step(self.params, params,
-                                                      so_far, step)
+            idx_r, means_parts = self._scales_step(self.params, params,
+                                                   so_far, step)
             y_q_r = jnp.asarray(
-                self._decode_y_plane(self._indexes(scales_r))
-                .reshape(scales_r.shape))
+                self.gaussian.decode_with_indexes(self.entropy_coder,
+                                                  np.asarray(idx_r))
+                .astype(np.float32))
             so_far = self._update_step(params, so_far, y_q_r,
                                        tuple(means_parts), step)
         x_hat = self._synth(self.params, params, so_far, qd)

@@ -276,22 +276,28 @@ class DMC(nn.Module):
 
     # ---- motion pipeline ----
 
-    def multi_scale_feature_extractor(self, dpb, index: int):
+    def multi_scale_feature_extractor(self, dpb, index):
+        """``index`` may be a traced int32 scalar: the adaptor cycling
+        (frame_idx%4 -> [0,1,0,2], video_model.py:343-351) is selected by a
+        computed index so ONE compiled executable serves every frame phase —
+        a static index would compile (and program-swap) 4 variants, which
+        costs seconds per swap on remote-tunnel TPU."""
         if dpb["ref_feature"] is None:
             feature = self.feature_adaptor_I(dpb["ref_frame"])
             if self.is_initializing():
                 for adaptor in self.feature_adaptor:
                     adaptor(jnp.zeros_like(feature))
         else:
-            feature = self.feature_adaptor[[0, 1, 0, 2][index % 4]](
-                dpb["ref_feature"])
+            feats = jnp.stack([a(dpb["ref_feature"])
+                               for a in self.feature_adaptor])
+            sel = jnp.asarray([0, 1, 0, 2], jnp.int32)[
+                jnp.asarray(index, jnp.int32) % 4]
+            feature = feats[sel]
             if self.is_initializing():
                 self.feature_adaptor_I(dpb["ref_frame"])
-                for adaptor in self.feature_adaptor:
-                    adaptor(jnp.zeros_like(dpb["ref_feature"]))
         return self.feature_extractor(feature)
 
-    def motion_compensation(self, dpb, mv, index: int):
+    def motion_compensation(self, dpb, mv, index):
         warpframe = flow_warp(dpb["ref_frame"], mv)
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
@@ -319,7 +325,7 @@ class DMC(nn.Module):
         mv_z = self.mv_hyper_prior_encoder(mv_y_pad)
         return mv_y, mv_z, slice_shape
 
-    def __call__(self, x, dpb, q_scales, frame_idx: int = 0,
+    def __call__(self, x, dpb, q_scales, frame_idx=0,
                  quant_mode: str = "round"):
         """forward_one_frame (video_model.py:559-628). q_scales is a dict of
         scalars: mv_y_q_enc/dec, y_q_enc/dec."""
@@ -373,7 +379,7 @@ class DMC(nn.Module):
             },
         }
 
-    def compress_device(self, x, dpb, q_scales, frame_idx: int = 0):
+    def compress_device(self, x, dpb, q_scales, frame_idx=0):
         mv_y_q_enc = self.mv_y_q_basic_enc * q_scales["mv_enc"]
         mv_y_q_dec = self.mv_y_q_basic_dec * q_scales["mv_dec"]
         y_q_enc = self.y_q_basic_enc * q_scales["y_enc"]
@@ -426,7 +432,7 @@ class DMC(nn.Module):
             params, y_hat_so_far, self.spatial_prior_fns(which), step)
 
     def decode_motion_stage(self, mv_params, mv_sofar, mv_q_dec_scale, dpb,
-                            z_hat, frame_idx: int, y_height: int, y_width: int):
+                            z_hat, frame_idx, y_height: int, y_width: int):
         """mv latent -> contexts + y-branch prior params."""
         mv_y_hat = priors.four_part_finalize(mv_params, mv_sofar)
         mv_y_q_dec = self.mv_y_q_basic_dec * mv_q_dec_scale
