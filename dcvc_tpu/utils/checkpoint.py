@@ -41,10 +41,30 @@ def save_params(path: str, params) -> None:
     np.savez(path, **_flatten(jax.device_get(params)))
 
 
-def load_params(path: str, like=None):
-    """Load an .npz param tree; if ``like`` given, validates structure."""
-    with np.load(path) as data:
-        tree = _unflatten({k: data[k] for k in data.files})
+def load_params(path: str, like=None, model: str | None = None):
+    """Load a param tree; if ``like`` given, validates structure.
+
+    Accepts the native .npz format, or a reference torch checkpoint
+    (.pth/.pt/.ckpt) when ``model`` names a known converter — so users of
+    the reference can point the CLIs directly at published checkpoints."""
+    if path.endswith((".pth", ".pt", ".ckpt", ".pth.tar")):
+        import torch
+
+        from . import port_dc
+
+        converters = {
+            "intra_dc": port_dc.convert_intra_dc,
+            "dmc_dc": port_dc.convert_dmc,
+        }
+        if model not in converters:
+            raise ValueError(
+                f"torch checkpoint needs a known model converter, got "
+                f"{model!r}; available: {sorted(converters)}")
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        tree = converters[model](ckpt)
+    else:
+        with np.load(path) as data:
+            tree = _unflatten({k: data[k] for k in data.files})
     if like is not None:
         ref = _flatten(like)
         got = _flatten(tree)

@@ -52,7 +52,7 @@ def main():
     if args.model_path:
         from dcvc_tpu.utils.checkpoint import load_params
 
-        rt.params = load_params(args.model_path, rt.params)
+        rt.params = load_params(args.model_path, rt.params, model=args.model)
     rt.update(force=True)
 
     # q_scales: anchors from the checkpoint (ones at fresh init) log-interp'd

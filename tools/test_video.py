@@ -54,7 +54,8 @@ def main():
     if args.model_path_i:
         from dcvc_tpu.utils.checkpoint import load_params
 
-        i_rt.params = load_params(args.model_path_i, i_rt.params)
+        i_rt.params = load_params(args.model_path_i, i_rt.params,
+                                   model=args.i_frame_model)
     i_rt.ec_thread, i_rt.stream_part = bool(args.ec_thread), args.stream_part_i
     i_rt.update(force=True)
 
@@ -64,7 +65,8 @@ def main():
         if args.model_path_p:
             from dcvc_tpu.utils.checkpoint import load_params
 
-            p_rt.params = load_params(args.model_path_p, p_rt.params)
+            p_rt.params = load_params(args.model_path_p, p_rt.params,
+                                       model=args.p_frame_model)
         p_rt.ec_thread, p_rt.stream_part = bool(args.ec_thread), args.stream_part_p
         p_rt.update(force=True)
 
