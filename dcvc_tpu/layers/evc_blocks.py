@@ -77,3 +77,18 @@ class EvcDepthConvBlockUpsample(nn.Module):
     def __call__(self, x):
         x = EvcDepthConvBlock(self.out_ch, name="block", dtype=self.dtype)(x)
         return SubpelConv(self.out_ch, 2, 1, name="subpel", dtype=self.dtype)(x)
+
+
+class DepthConvBlockUpsample(nn.Module):
+    """DC-style DepthConvBlock + subpel upsample
+    (EVC/src/models/hyperprior.py:66-74)."""
+
+    out_ch: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from .blocks import DepthConvBlock
+
+        x = DepthConvBlock(self.out_ch, name="block", dtype=self.dtype)(x)
+        return SubpelConv(self.out_ch, 2, 1, name="subpel", dtype=self.dtype)(x)

@@ -20,13 +20,17 @@ import jax.numpy as jnp
 from ..entropy import bits
 from ..entropy.bit_estimator import BitEstimator
 from ..layers.blocks import (
+    DepthConvBlock,
     ResidualBlockUpsample,
     ResidualBlockWithStride,
     SubpelConv,
     conv,
     leaky_relu,
 )
-from ..layers.evc_blocks import EvcDepthConvBlock, EvcDepthConvBlockUpsample
+from ..layers.evc_blocks import (
+    DepthConvBlockUpsample,
+    EvcDepthConvBlock,
+)
 from ..ops.math import lower_bound
 from . import priors
 
@@ -77,7 +81,9 @@ class EvcHyperEnc(nn.Module):
 
     @nn.compact
     def __call__(self, y):
-        x = EvcDepthConvBlock(self.N, name="block", dtype=self.dtype)(y)
+        # hyper/prior stacks use the DC-style DepthConvBlock
+        # (EVC/src/models/hyperprior.py:7-74), not the enc/dec EVC variant
+        x = DepthConvBlock(self.N, name="block", dtype=self.dtype)(y)
         x = conv(self.N, 3, 2, name="down1", dtype=self.dtype)(x)
         x = leaky_relu(x)
         return conv(self.N, 3, 2, name="down2", dtype=self.dtype)(x)
@@ -89,9 +95,9 @@ class EvcHyperDec(nn.Module):
 
     @nn.compact
     def __call__(self, z_hat):
-        x = EvcDepthConvBlockUpsample(self.N, name="up1", dtype=self.dtype)(z_hat)
-        x = EvcDepthConvBlockUpsample(self.N, name="up2", dtype=self.dtype)(x)
-        return EvcDepthConvBlock(self.N, name="block", dtype=self.dtype)(x)
+        x = DepthConvBlockUpsample(self.N, name="up1", dtype=self.dtype)(z_hat)
+        x = DepthConvBlockUpsample(self.N, name="up2", dtype=self.dtype)(x)
+        return DepthConvBlock(self.N, name="block", dtype=self.dtype)(x)
 
 
 class EvcPriorFusion(nn.Module):
@@ -100,8 +106,8 @@ class EvcPriorFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = EvcDepthConvBlock(self.N * 2, name="block1", dtype=self.dtype)(x)
-        return EvcDepthConvBlock(self.N * 3, name="block2", dtype=self.dtype)(x)
+        x = DepthConvBlock(self.N * 2, name="block1", dtype=self.dtype)(x)
+        return DepthConvBlock(self.N * 3, name="block2", dtype=self.dtype)(x)
 
 
 class EvcSpatialPrior(nn.Module):
@@ -110,9 +116,9 @@ class EvcSpatialPrior(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = EvcDepthConvBlock(self.N * 3, name="block1", dtype=self.dtype)(x)
-        x = EvcDepthConvBlock(self.N * 2, name="block2", dtype=self.dtype)(x)
-        return EvcDepthConvBlock(self.N * 2, name="block3", dtype=self.dtype)(x)
+        x = DepthConvBlock(self.N * 3, name="block1", dtype=self.dtype)(x)
+        x = DepthConvBlock(self.N * 2, name="block2", dtype=self.dtype)(x)
+        return DepthConvBlock(self.N * 2, name="block3", dtype=self.dtype)(x)
 
 
 class EVCIntra(nn.Module):

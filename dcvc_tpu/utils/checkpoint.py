@@ -56,6 +56,8 @@ def load_params(path: str, like=None, model: str | None = None):
             "intra_dc": port_dc.convert_intra_dc,
             "dmc_dc": port_dc.convert_dmc,
         }
+        if model and model.startswith("evc"):
+            converters[model] = port_dc.convert_evc
         if model not in converters:
             raise ValueError(
                 f"torch checkpoint needs a known model converter, got "

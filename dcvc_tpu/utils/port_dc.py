@@ -86,12 +86,17 @@ class _Mapper:
             f = (*f, "conv")
         self.conv(f"{t}.0", *f)
 
-    def dcb(self, t, *f, two: bool):
-        """DepthConvBlock (two=False) / DepthConvBlock2 (two=True)."""
+    def dcb(self, t, *f, two: bool, seq: bool = False):
+        """DepthConvBlock (two=False) / DepthConvBlock2 (two=True).
+
+        ``seq=True`` handles the EVC enc/dec layer variant whose DepthConv
+        wraps depth_conv/conv2 in Sequentials (EVC/src/models/layers.py:
+        160-196) — weights are identical, key suffixes differ."""
         d = f"{t}.block.0"
         self.conv(f"{d}.conv1.0", *f, "depth_conv", "conv1")
-        self.dwconv(f"{d}.depth_conv", *f, "depth_conv", "depth_conv")
-        self.conv(f"{d}.conv2", *f, "depth_conv", "conv2")
+        sfx = ".0" if seq else ""
+        self.dwconv(f"{d}.depth_conv{sfx}", *f, "depth_conv", "depth_conv")
+        self.conv(f"{d}.conv2{sfx}", *f, "depth_conv", "conv2")
         if f"{d}.adaptor.weight" in self.sd:
             self.conv(f"{d}.adaptor", *f, "depth_conv", "adaptor")
         ffn = f"{t}.block.1"
@@ -101,6 +106,11 @@ class _Mapper:
         else:
             self.conv(f"{ffn}.conv.0", *f, "ffn", "conv1")
             self.conv(f"{ffn}.conv.2", *f, "ffn", "conv2")
+
+    def dcb_upsample(self, t, *f):
+        """DepthConvBlockUpsample (EVC/src/models/hyperprior.py:66-74)."""
+        self.dcb(t, *f, "block", two=False)
+        self.conv(f"{t}.block.2", *f, "subpel", "conv")
 
     def unet(self, t, *f, two: bool):
         self.dcb(f"{t}.conv1", *f, "conv1", two=two)
@@ -179,6 +189,51 @@ def convert_intra_dc(state_dict: dict) -> dict:
     m.out["q_basic_dec"] = m.out["q_basic_dec"].transpose(0, 2, 3, 1)
     m.param("q_scale_enc", ("q_scale_enc",))
     m.param("q_scale_dec", ("q_scale_dec",))
+    return m.finish()
+
+
+def convert_evc(state_dict: dict) -> dict:
+    """EVC intra (any enc/dec size grid) torch state_dict -> flax params.
+
+    Reference: EVC/src/models/image_model.py:16-28 + layers.py
+    get_enc_dec_models + hyperprior.py get_hyperprior/get_dualprior.
+    """
+    m = _Mapper(get_state_dict(state_dict))
+
+    m.rbws("enc.0", "enc", "down1")
+    m.dcb("enc.1", "enc", "block1", two=False, seq=True)
+    m.rbws("enc.2", "enc", "down2")
+    m.dcb("enc.3", "enc", "block2", two=False, seq=True)
+    m.rbws("enc.4", "enc", "down3")
+    m.dcb("enc.5", "enc", "block3", two=False, seq=True)
+    m.conv("enc.6", "enc", "down4")
+
+    m.dcb("dec.0", "dec", "block0", two=False, seq=True)
+    m.rbu("dec.1", "dec", "up1")
+    m.dcb("dec.2", "dec", "block1", two=False, seq=True)
+    m.rbu("dec.3", "dec", "up2")
+    m.dcb("dec.4", "dec", "block2", two=False, seq=True)
+    m.rbu("dec.5", "dec", "up3")
+    m.dcb("dec.6", "dec", "block3", two=False, seq=True)
+    m.subpel("dec.7", "dec", "up4")
+
+    m.dcb("hyper_enc.0", "hyper_enc", "block", two=False)
+    m.conv("hyper_enc.1", "hyper_enc", "down1")
+    m.conv("hyper_enc.3", "hyper_enc", "down2")
+    m.dcb_upsample("hyper_dec.0", "hyper_dec", "up1")
+    m.dcb_upsample("hyper_dec.1", "hyper_dec", "up2")
+    m.dcb("hyper_dec.2", "hyper_dec", "block", two=False)
+
+    m.dcb("y_prior_fusion.0", "y_prior_fusion", "block1", two=False)
+    m.dcb("y_prior_fusion.1", "y_prior_fusion", "block2", two=False)
+    m.dcb("y_spatial_prior.0", "y_spatial_prior", "block1", two=False)
+    m.dcb("y_spatial_prior.1", "y_spatial_prior", "block2", two=False)
+    m.dcb("y_spatial_prior.2", "y_spatial_prior", "block3", two=False)
+
+    m.bit_estimator("bit_estimator_z", "bit_estimator_z")
+    m.param("q_basic", ("q_basic",))
+    m.out["q_basic"] = m.out["q_basic"].transpose(0, 2, 3, 1)
+    m.param("q_scale", ("q_scale",))
     return m.finish()
 
 

@@ -120,3 +120,39 @@ def test_dmc_full_forward_parity(dmc_pair):
     d_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0]))
     assert d_xhat < 1e-3, f"x_hat maxdiff {d_xhat}"
     assert d_bpp < 5e-3, f"bpp diff {d_bpp}"
+
+
+def test_evc_full_forward_parity():
+    evc_path = "/root/reference/EVC"
+    if evc_path not in sys.path:
+        sys.path.insert(0, evc_path)
+    # both repos use the package name `src`; isolate the EVC import
+    for mod in [m for m in list(sys.modules) if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    sys.path.remove("/root/reference/DCVC-DC")
+    try:
+        from src.models.image_model import EVC as TorchEVC
+    finally:
+        sys.path.insert(0, "/root/reference/DCVC-DC")
+
+    _seed_all()
+    tm = TorchEVC()
+    tm.eval()
+    from dcvc_tpu.models.evc import make_evc
+
+    jm = make_evc("LL")
+    params = {"params": jax_tree(
+        port_dc.convert_evc(tm.state_dict())["params"])}
+    _seed_all()
+    x = torch.rand(1, 3, 64, 128)  # y must be a multiple of 4 (EVC pads to 64)
+    with torch.no_grad():
+        ref = tm(x, q_scale=torch.ones(1))
+    out = jm.apply(params, jnp.asarray(_t2n(x).transpose(0, 2, 3, 1)),
+                   jnp.ones(()))
+    ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
+    d_xhat = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
+    d_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0]))
+    for mod in [m for m in list(sys.modules) if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    assert d_xhat < 3e-4, f"x_hat maxdiff {d_xhat}"
+    assert d_bpp < 2e-3, f"bpp diff {d_bpp}"
