@@ -50,11 +50,13 @@ def load_params(path: str, like=None, model: str | None = None):
     if path.endswith((".pth", ".pt", ".ckpt", ".pth.tar")):
         import torch
 
-        from . import port_dc
+        from . import port_dc, port_hem
 
         converters = {
             "intra_dc": port_dc.convert_intra_dc,
             "dmc_dc": port_dc.convert_dmc,
+            "intra_hem": port_hem.convert_intra_hem,
+            "dmc_hem": port_hem.convert_dmc_hem,
         }
         if model and model.startswith("evc"):
             converters[model] = port_dc.convert_evc
