@@ -35,7 +35,10 @@ _WARP_BARRIER = bool(int(os.environ.get("DCVC_TPU_WARP_BARRIER", "0")))
 # (multi-row slices leave the fast path); batched (B>=2) multi-element-slice
 # gathers SIGILL the compiler's layout assignment (hence the lax.map below);
 # Mosaic scalar-loop gathers run ~150ns/elem (no Pallas win available).
-_WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "packed")
+# "auto" resolves per backend at trace time: packed on TPU, naive elsewhere
+# (CPU/GPU vectorize gathers fine, and the batched lax.map makes CPU
+# autodiff compiles pathologically slow).
+_WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "auto")
 
 
 def _warp_indices(H, W, flow):
@@ -146,6 +149,8 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     if _WARP_BARRIER:
         im, flow = jax.lax.optimization_barrier((im, flow))
     impl = _WARP_IMPL
+    if impl == "auto":
+        impl = "packed" if jax.default_backend() == "tpu" else "naive"
     if impl == "naive":
         out = _flow_warp_naive(im, flow)
     elif im.shape[0] == 1:
