@@ -84,6 +84,50 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
 
     os.makedirs(cfg.stream_path, exist_ok=True)
 
+    # estimated-bits mode pipelines host work one frame behind the device:
+    # frame i's recon/bit readback happens after frame i+1 is dispatched, so
+    # the (slow, ~300ms at 720p on remote tunnels) transfer overlaps compute
+    pending = None
+
+    def _finish_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        fr_idx, x_hat_dev, bit_dev, frame_np, pad_p, t0_p, t1_p = pending
+        pending = None
+        recon = _crop_frame(np.asarray(x_hat_dev[0]), pad_p,
+                            seq.height, seq.width)
+        bit = float(bit_dev)
+        t2 = time.time()
+        _record_frame(frame_np, recon, bit, t0_p, t1_p, t2, fr_idx)
+
+    def _record_frame(frame_np, recon, bit, t0, t1, t2, frame_idx):
+        fr = {"bits": float(bit), "bpp": float(bit) / pixel_num,
+              "encoding_time": t1 - t0, "decoding_time": t2 - t1}
+        if cfg.yuv420_metrics or seq.src_type != "png":
+            psnrs = [metrics.calc_psnr(frame_np[..., i], recon[..., i],
+                                       data_range=1) for i in range(3)]
+            fr["psnr_y"], fr["psnr_u"], fr["psnr_v"] = psnrs
+            fr["psnr"] = metrics.yuv_psnr_6_1_1(*psnrs)
+            if cfg.calc_ssim:
+                fr["msssim"] = metrics.calc_msssim(frame_np[..., 0],
+                                                   recon[..., 0], data_range=1)
+        else:
+            fr["psnr"] = metrics.calc_psnr(frame_np, recon, data_range=1)
+            if cfg.calc_ssim:
+                fr["msssim"] = metrics.calc_msssim_rgb(frame_np, recon,
+                                                       data_range=1)
+        frame_results.append(fr)
+        if recon_writer is not None:
+            out_rgb = (recon if seq.src_type == "png"
+                       else color.ycbcr_to_rgb(recon))
+            recon_writer.write_one_frame(out_rgb)
+        if cfg.verbose >= 2:
+            print(f"  frame {frame_idx}: bpp={fr['bpp']:.4f} "
+                  f"psnr={fr['psnr']:.2f} "
+                  f"enc={fr['encoding_time']:.3f}s "
+                  f"dec={fr['decoding_time']:.3f}s")
+
     for frame_idx in range(frame_num):
         if seq.src_type == "png":
             rgb = reader.read_one_frame()
@@ -103,6 +147,7 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
         t0 = time.time()
         if i_frame:
             if cfg.write_stream:
+                _finish_pending()
                 comp = i_runtime.compress(x, cfg.q_in_ckpt, q_index_i)
                 encode_i(seq.height, seq.width, cfg.q_in_ckpt, q_index_i,
                          comp["bit_stream"], bin_path)
@@ -113,13 +158,15 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                 x_hat = dec["x_hat"]
             else:
                 out = i_runtime.forward(x, cfg.q_in_ckpt, q_index_i)
-                bit = float(out["bit"])
                 t1 = time.time()
                 x_hat = out["x_hat"]
+                _finish_pending()
+                pending = (frame_idx, x_hat, out["bit"], frame, pad, t0, t1)
             dpb = {"ref_frame": x_hat, "ref_feature": None,
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
         else:
             if cfg.write_stream:
+                _finish_pending()
                 comp = p_runtime.compress(x, dpb, cfg.q_in_ckpt, q_index_p,
                                           frame_idx)
                 encode_p(comp["bit_stream"], cfg.q_in_ckpt, q_index_p,
@@ -134,40 +181,20 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
             else:
                 out = p_runtime.forward_one_frame(x, dpb, cfg.q_in_ckpt,
                                                   q_index_p, frame_idx)
-                bit = float(out["bit"])
                 t1 = time.time()
                 dpb = out["dpb"]
                 x_hat = dpb["ref_frame"]
-        # host readback is the only reliable sync on remote-tunnel platforms
-        # (block_until_ready can return before execution completes there)
-        recon = _crop_frame(np.asarray(x_hat[0]), pad, seq.height, seq.width)
-        t2 = time.time()
-        fr = {"bits": float(bit), "bpp": float(bit) / pixel_num,
-              "encoding_time": t1 - t0, "decoding_time": t2 - t1}
-        if cfg.yuv420_metrics or seq.src_type != "png":
-            ref_yuv = frame
-            rec_yuv = recon
-            psnrs = [metrics.calc_psnr(ref_yuv[..., i], rec_yuv[..., i],
-                                       data_range=1) for i in range(3)]
-            fr["psnr_y"], fr["psnr_u"], fr["psnr_v"] = psnrs
-            fr["psnr"] = metrics.yuv_psnr_6_1_1(*psnrs)
-            if cfg.calc_ssim:
-                fr["msssim"] = metrics.calc_msssim(ref_yuv[..., 0],
-                                                   rec_yuv[..., 0], data_range=1)
-        else:
-            fr["psnr"] = metrics.calc_psnr(frame, recon, data_range=1)
-            if cfg.calc_ssim:
-                fr["msssim"] = metrics.calc_msssim_rgb(frame, recon, data_range=1)
-        frame_results.append(fr)
+                _finish_pending()
+                pending = (frame_idx, x_hat, out["bit"], frame, pad, t0, t1)
+        if cfg.write_stream:
+            # host readback is the only reliable sync on remote tunnels
+            # (block_until_ready can return before execution completes)
+            recon = _crop_frame(np.asarray(x_hat[0]), pad,
+                                seq.height, seq.width)
+            t2 = time.time()
+            _record_frame(frame, recon, bit, t0, t1, t2, frame_idx)
 
-        if recon_writer is not None:
-            out_rgb = recon if seq.src_type == "png" else color.ycbcr_to_rgb(recon)
-            recon_writer.write_one_frame(out_rgb)
-        if cfg.verbose >= 2:
-            print(f"  frame {frame_idx}: bpp={fr['bpp']:.4f} "
-                  f"psnr={fr['psnr']:.2f} "
-                  f"enc={fr['encoding_time']:.3f}s dec={fr['decoding_time']:.3f}s")
-
+    _finish_pending()
     reader.close()
     from ..utils.results import summarize_sequence
 
