@@ -50,13 +50,14 @@ def load_params(path: str, like=None, model: str | None = None):
     if path.endswith((".pth", ".pt", ".ckpt", ".pth.tar")):
         import torch
 
-        from . import port_dc, port_hem
+        from . import port_dc, port_hem, port_tcm
 
         converters = {
             "intra_dc": port_dc.convert_intra_dc,
             "dmc_dc": port_dc.convert_dmc,
             "intra_hem": port_hem.convert_intra_hem,
             "dmc_hem": port_hem.convert_dmc_hem,
+            "dmc_tcm": port_tcm.convert_dmc_tcm,
         }
         if model and model.startswith("evc"):
             converters[model] = port_dc.convert_evc

@@ -303,3 +303,67 @@ def test_hem_dmc_full_forward_parity():
     rel_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0])) / (
         abs(float(ref["bpp"])) + 1e-6)
     assert rel_bpp < 0.02, f"bpp rel diff {rel_bpp}"
+
+
+def test_tcm_dmc_full_forward_parity():
+    """Tree structure + flow + entropy path for the TCM generation."""
+    import types
+
+    import jax
+
+    from dcvc_tpu.utils import port_tcm
+
+    if "pytorch_msssim" not in sys.modules:
+        ms = types.ModuleType("pytorch_msssim")
+        ms.MS_SSIM = type("MS_SSIM", (), {"__init__": lambda s, *a, **k: None,
+                                          "__call__": lambda s, *a, **k:
+                                          torch.tensor(1.0)})
+        ms.ms_ssim = lambda *a, **k: torch.tensor(1.0)
+        sys.modules["pytorch_msssim"] = ms
+    tcm = "/root/reference/DCVC-TCM"
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    for p in [p for p in list(sys.path) if "reference" in p]:
+        sys.path.remove(p)
+    sys.path.insert(0, tcm)
+    from src.models.video_net_dmc import DMC as TcmDMC
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    sys.path.remove(tcm)
+    sys.path.insert(0, "/root/reference/DCVC-DC")
+
+    _seed_all()
+    tm = TcmDMC()
+    tm.eval()
+    from dcvc_tpu.models.video_tcm import DMCTcm
+
+    jm = DMCTcm()
+    params_t = port_tcm.convert_dmc_tcm(tm.state_dict())
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 64, 64, 3)), None)
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    H, W = 64, 128
+    x = torch.rand(1, 3, H, W)
+    ref_frame = torch.rand(1, 3, H, W)
+    with torch.no_grad():
+        ref = tm.forward_one_frame(x, ref_frame, None)
+        mv_ref = tm.optic_flow(x, ref_frame)
+
+    def nhwc(t):
+        return jnp.asarray(_t2n(t).transpose(0, 2, 3, 1))
+
+    out = jm.apply(params, nhwc(x), nhwc(ref_frame), None)
+    mv_ours = jm.apply(params, nhwc(x), nhwc(ref_frame),
+                       method=lambda m, a, b: m.optic_flow(a, b))
+    mv_ref_n = _t2n(mv_ref).transpose(0, 2, 3, 1)
+    rel_mv = np.max(np.abs(np.asarray(mv_ours) - mv_ref_n)) / (
+        np.max(np.abs(mv_ref_n)) + 1e-6)
+    assert rel_mv < 1e-3, f"optic_flow rel diff {rel_mv}"
+    rel_bpp = abs(float(ref["bpp"]) - float(np.asarray(out["bpp"]).reshape(-1)[0])) / (
+        abs(float(ref["bpp"])) + 1e-6)
+    assert rel_bpp < 0.02, f"bpp rel diff {rel_bpp}"
