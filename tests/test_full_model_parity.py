@@ -367,3 +367,69 @@ def test_tcm_dmc_full_forward_parity():
     rel_bpp = abs(float(ref["bpp"]) - float(np.asarray(out["bpp"]).reshape(-1)[0])) / (
         abs(float(ref["bpp"])) + 1e-6)
     assert rel_bpp < 0.02, f"bpp rel diff {rel_bpp}"
+
+
+def test_gen1_dcvc_full_forward_parity():
+    """Gen-1 DCVC_net: tree structure, flow and full estimated-bpp parity
+    (the AR prior + entropy parameter nets feed bpp, so this covers them)."""
+    import types
+
+    import jax
+
+    from dcvc_tpu.utils import port_gen1
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.ToPILImage = object
+        tvt.ToTensor = object
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    gen1 = "/root/reference/DCVC"
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    for p in [p for p in list(sys.path) if "reference" in p]:
+        sys.path.remove(p)
+    sys.path.insert(0, gen1)
+    from src.models.DCVC_net import DCVC_net
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    sys.path.remove(gen1)
+    sys.path.insert(0, "/root/reference/DCVC-DC")
+
+    _seed_all()
+    tm = DCVC_net()
+    tm.eval()
+    from dcvc_tpu.models.video_dcvc import DCVCNet
+
+    jm = DCVCNet()
+    params_t = port_gen1.convert_dcvc_gen1(tm.state_dict())
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 64, 64, 3)))
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    x = torch.rand(1, 3, 64, 128)
+    ref_frame = torch.rand(1, 3, 64, 128)
+    with torch.no_grad():
+        ref = tm(ref_frame, x)
+        mv_ref = tm.opticFlow(x, ref_frame)
+
+    def nhwc(t):
+        return jnp.asarray(_t2n(t).transpose(0, 2, 3, 1))
+
+    out = jm.apply(params, nhwc(ref_frame), nhwc(x))
+    mv_ours = jm.apply(params, nhwc(x), nhwc(ref_frame),
+                       method=lambda m, a, b: m.optic_flow(a, b))
+    mv_ref_n = _t2n(mv_ref).transpose(0, 2, 3, 1)
+    rel_mv = np.max(np.abs(np.asarray(mv_ours) - mv_ref_n)) / (
+        np.max(np.abs(mv_ref_n)) + 1e-6)
+    assert rel_mv < 1e-3, f"optic_flow rel diff {rel_mv}"
+    rel_bpp = abs(float(ref["bpp"]) -
+                  float(np.asarray(out["bpp"]).reshape(-1)[0])) / (
+        abs(float(ref["bpp"])) + 1e-6)
+    assert rel_bpp < 0.01, f"bpp rel diff {rel_bpp}"
