@@ -50,7 +50,7 @@ def load_params(path: str, like=None, model: str | None = None):
     if path.endswith((".pth", ".pt", ".ckpt", ".pth.tar")):
         import torch
 
-        from . import port_dc, port_gen1, port_hem, port_tcm
+        from . import port_dc, port_gen1, port_hem, port_tcm, port_zoo
 
         converters = {
             "intra_dc": port_dc.convert_intra_dc,
@@ -59,6 +59,11 @@ def load_params(path: str, like=None, model: str | None = None):
             "dmc_hem": port_hem.convert_dmc_hem,
             "dmc_tcm": port_tcm.convert_dmc_tcm,
             "dcvc_gen1": port_gen1.convert_dcvc_gen1,
+            "bmshj2018-factorized":
+                lambda sd: port_zoo.convert_zoo(sd, "factorized"),
+            "bmshj2018-hyperprior":
+                lambda sd: port_zoo.convert_zoo(sd, "scale"),
+            "mbt2018-mean": lambda sd: port_zoo.convert_zoo(sd, "meanscale"),
         }
         if model and model.startswith("evc"):
             converters[model] = port_dc.convert_evc

@@ -433,3 +433,61 @@ def test_gen1_dcvc_full_forward_parity():
                   float(np.asarray(out["bpp"]).reshape(-1)[0])) / (
         abs(float(ref["bpp"])) + 1e-6)
     assert rel_bpp < 0.01, f"bpp rel diff {rel_bpp}"
+
+
+@pytest.mark.parametrize("kind", ["factorized", "scale", "meanscale"])
+def test_zoo_full_forward_parity(kind):
+    """CompressAI-style intra zoo (gen-1's I-frame codecs): end-to-end
+    x_hat parity ~1e-7 with ported weights."""
+    import types
+
+    import jax
+
+    from dcvc_tpu.utils import port_zoo
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.ToPILImage = object
+        tvt.ToTensor = object
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    gen1 = "/root/reference/DCVC"
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    for p in [p for p in list(sys.path) if "reference" in p]:
+        sys.path.remove(p)
+    sys.path.insert(0, gen1)
+    from src.models.priors import (FactorizedPrior, MeanScaleHyperprior,
+                                   ScaleHyperprior)
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    sys.path.remove(gen1)
+    sys.path.insert(0, "/root/reference/DCVC-DC")
+
+    from dcvc_tpu.models import intra_zoo
+
+    TM, JM = {"factorized": (FactorizedPrior, intra_zoo.FactorizedPrior),
+              "scale": (ScaleHyperprior, intra_zoo.ScaleHyperprior),
+              "meanscale": (MeanScaleHyperprior,
+                            intra_zoo.MeanScaleHyperprior)}[kind]
+    _seed_all()
+    tm = TM(128, 192)
+    tm.eval()
+    jm = JM(N=128, M=192)
+    params_t = port_zoo.convert_zoo(tm.state_dict(), kind)
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    x = torch.rand(1, 3, 64, 128)
+    with torch.no_grad():
+        ref = tm(x)
+    out = jm.apply(params, jnp.asarray(_t2n(x).transpose(0, 2, 3, 1)))
+    ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
+    d = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
+    assert d < 1e-4, f"x_hat maxdiff {d}"
