@@ -16,8 +16,6 @@ import numpy as np
 from ..entropy.bottleneck import EntropyBottleneck
 from ..layers.blocks import (
     ResidualBlock,
-    ResidualBlockUpsample,
-    ResidualBlockWithStride,
     SubpelConv,
     conv,
     leaky_relu,
@@ -97,9 +95,17 @@ class _HyperBase(nn.Module):
     dtype: jnp.dtype | None = None
 
     def _gaussian_bits(self, y_q, scales):
-        from ..entropy import bits
+        # CompressAI GaussianConditional._likelihood parity
+        # (DCVC/src/entropy_models/entropy_models.py:439-460): abs-folded
+        # cumulative for tail stability, scale floor 0.11, likelihood
+        # floor 1e-9 (NOT the DC-generation +1e-5 convention).
+        import jax
 
-        return bits.y_gaussian_bits(y_q, jnp.maximum(scales, SCALES_MIN_JNP))
+        scales = jnp.maximum(scales, SCALES_MIN_JNP)
+        v = jnp.abs(y_q)
+        probs = (jax.scipy.special.ndtr((0.5 - v) / scales)
+                 - jax.scipy.special.ndtr((-0.5 - v) / scales))
+        return -jnp.log2(jnp.maximum(probs, 1e-9))
 
 
 SCALES_MIN_JNP = 0.11
@@ -237,8 +243,55 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         return self.h_s(z_hat)
 
 
+class ResidualBlockStrideGDN(nn.Module):
+    """gen-1 ResidualBlockWithStride (DCVC/src/layers/layers.py:67-99):
+    conv3x3(s) - lrelu - conv3x3 - GDN, 1x1-strided conv skip."""
+
+    out_ch: int
+    stride: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv(self.out_ch, 3, self.stride, name="conv1",
+                   dtype=self.dtype)(x)
+        out = leaky_relu(out)
+        out = conv(self.out_ch, 3, 1, name="conv2", dtype=self.dtype)(out)
+        out = GDN(self.out_ch, name="gdn")(out)
+        if self.stride != 1:
+            identity = conv(self.out_ch, 1, self.stride, name="downsample",
+                            dtype=self.dtype)(x)
+        else:
+            identity = x
+        return out + identity
+
+
+class ResidualBlockUpsampleGDN(nn.Module):
+    """gen-1 ResidualBlockUpsample (DCVC/src/layers/layers.py:101-128):
+    subpel3x3 - lrelu - conv3x3 - IGDN, subpel3x3 skip."""
+
+    out_ch: int
+    upsample: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv(self.out_ch, self.upsample, 3, name="subpel_conv",
+                         dtype=self.dtype)(x)
+        out = leaky_relu(out)
+        out = conv(self.out_ch, 3, 1, name="conv", dtype=self.dtype)(out)
+        out = GDN(self.out_ch, inverse=True, name="igdn")(out)
+        identity = SubpelConv(self.out_ch, self.upsample, 3, name="upsample",
+                              dtype=self.dtype)(x)
+        return out + identity
+
+
 class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
-    """Construct with M == N (waseda.py:41: super().__init__(N=N, M=N))."""
+    """Construct with M == N (waseda.py:41: super().__init__(N=N, M=N)).
+
+    Blocks are the gen-1 GDN residual variants (DCVC/src/layers/layers.py),
+    not the DC-generation leaky(0.1) ones.
+    """
 
     N: int = 192
     M: int = 192
@@ -250,17 +303,16 @@ class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
         self.context_prediction = MaskedConv2d(2 * N, 5, dtype=self.dtype)
         self.entropy_parameters = EntropyParams1x1(N, dtype=self.dtype)
         self.g_a_blocks = [
-            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlockStrideGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
-            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlockStrideGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
-            ResidualBlockWithStride(N, 2, dtype=self.dtype),
+            ResidualBlockStrideGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
         ]
         self.g_a_out = conv(N, 3, 2)
         self.h_a_convs = [conv(N, 3, 1), conv(N, 3, 1), conv(N, 3, 2),
                           conv(N, 3, 1), conv(N, 3, 2)]
-        self.h_s_layers = None  # built in methods below
         self.h_s_conv1 = conv(N, 3, 1)
         self.h_s_up1 = SubpelConv(N, 2, 3)
         self.h_s_conv2 = conv(N * 3 // 2, 3, 1)
@@ -268,11 +320,11 @@ class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
         self.h_s_conv3 = conv(N * 2, 3, 1)
         self.g_s_blocks = [
             ResidualBlock(N, dtype=self.dtype),
-            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlockUpsampleGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
-            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlockUpsampleGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
-            ResidualBlockUpsample(N, 2, dtype=self.dtype),
+            ResidualBlockUpsampleGDN(N, 2, dtype=self.dtype),
             ResidualBlock(N, dtype=self.dtype),
         ]
         self.g_s_out = SubpelConv(3, 2, 3)
@@ -296,10 +348,11 @@ class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
         return self.h_a_convs[4](f)
 
     def h_s(self, z_hat):
+        # waseda.py h_s: conv-L-subpel-L-conv-L-subpel-L-conv
         f = leaky_relu(self.h_s_conv1(z_hat))
-        f = self.h_s_up1(f)
+        f = leaky_relu(self.h_s_up1(f))
         f = leaky_relu(self.h_s_conv2(f))
-        f = self.h_s_up2(f)
+        f = leaky_relu(self.h_s_up2(f))
         return self.h_s_conv3(f)
 
 

@@ -62,7 +62,8 @@ def _takes_two_q(module) -> bool:
 
 
 def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
-                        detach_between_frames: bool = True):
+                        detach_between_frames: bool = True,
+                        remat: bool = False):
     """Cascaded P-frame training step over a [B, T, H, W, C] clip.
 
     Frame 0 is the (already reconstructed) reference; frames 1..T-1 are coded
@@ -77,9 +78,14 @@ def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
                "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
         total = 0.0
         bpps = []
+        apply = module.apply
+        if remat:
+            # trade recompute for HBM: the cascaded graph at 256px crops
+            # exceeds a single v5e's 16GB without rematerialization
+            apply = jax.checkpoint(module.apply, static_argnums=(4, 5))
         for t in range(1, cascade_frames + 1):
             x = clip[:, t]
-            out = module.apply(params, x, dpb, q_scales, t, "ste")
+            out = apply(params, x, dpb, q_scales, t, "ste")
             total = total + rd_loss(x, out["dpb"]["ref_frame"], out["bpp"],
                                     lambdas)
             bpps.append(jnp.mean(out["bpp"]))

@@ -64,6 +64,9 @@ def load_params(path: str, like=None, model: str | None = None):
             "bmshj2018-hyperprior":
                 lambda sd: port_zoo.convert_zoo(sd, "scale"),
             "mbt2018-mean": lambda sd: port_zoo.convert_zoo(sd, "meanscale"),
+            "mbt2018": lambda sd: port_zoo.convert_zoo(sd, "joint"),
+            "cheng2020-anchor":
+                lambda sd: port_zoo.convert_zoo(sd, "cheng2020"),
         }
         if model and model.startswith("evc"):
             converters[model] = port_dc.convert_evc

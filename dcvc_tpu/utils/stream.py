@@ -83,6 +83,30 @@ def decode_i_ushort_q(inputpath):
     return height, width, q_index, bit_stream
 
 
+# -- gen-1 style: h,w + N length-prefixed substreams ------------------------
+# (DCVC/src/utils/stream_helper.py:108-163 writes each latent's string with
+# its own length; used for the per-rate CompressAI zoo intra models)
+
+def encode_i_strings(height, width, strings, output):
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">2I", height, width))
+        f.write(struct.pack(">B", len(strings)))
+        for s in strings:
+            f.write(struct.pack(">I", len(s)))
+            f.write(s)
+
+
+def decode_i_strings(inputpath):
+    with Path(inputpath).open("rb") as f:
+        height, width = struct.unpack(">2I", f.read(8))
+        n = struct.unpack(">B", f.read(1))[0]
+        strings = []
+        for _ in range(n):
+            length = struct.unpack(">I", f.read(4))[0]
+            strings.append(f.read(length))
+    return height, width, strings
+
+
 def encode_p_ushort_q(string, y_q_index, mv_y_q_index, output):
     with Path(output).open("wb") as f:
         f.write(struct.pack(">2H", y_q_index, mv_y_q_index))

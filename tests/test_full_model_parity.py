@@ -435,15 +435,10 @@ def test_gen1_dcvc_full_forward_parity():
     assert rel_bpp < 0.01, f"bpp rel diff {rel_bpp}"
 
 
-@pytest.mark.parametrize("kind", ["factorized", "scale", "meanscale"])
-def test_zoo_full_forward_parity(kind):
-    """CompressAI-style intra zoo (gen-1's I-frame codecs): end-to-end
-    x_hat parity ~1e-7 with ported weights."""
+def _import_gen1_models(*names):
+    """Import model classes from the gen-1 reference (/root/reference/DCVC),
+    isolating its `src` package from the DCVC-DC one already on sys.path."""
     import types
-
-    import jax
-
-    from dcvc_tpu.utils import port_zoo
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
@@ -460,13 +455,29 @@ def test_zoo_full_forward_parity(kind):
     for p in [p for p in list(sys.path) if "reference" in p]:
         sys.path.remove(p)
     sys.path.insert(0, gen1)
-    from src.models.priors import (FactorizedPrior, MeanScaleHyperprior,
-                                   ScaleHyperprior)
+    from src.models import priors as _gp
+    from src.models import waseda as _gw
+    pool = {**vars(_gp), **vars(_gw)}
+    out = tuple(pool[n] for n in names)
     for mod in [m for m in list(sys.modules)
                 if m == "src" or m.startswith("src.")]:
         del sys.modules[mod]
     sys.path.remove(gen1)
     sys.path.insert(0, "/root/reference/DCVC-DC")
+    return out
+
+
+@pytest.mark.parametrize("kind", ["factorized", "scale", "meanscale"])
+def test_zoo_full_forward_parity(kind):
+    """CompressAI-style intra zoo (gen-1's I-frame codecs): end-to-end
+    x_hat parity ~1e-7 with ported weights."""
+    import jax
+
+    from dcvc_tpu.utils import port_zoo
+
+    FactorizedPrior, ScaleHyperprior, MeanScaleHyperprior = \
+        _import_gen1_models("FactorizedPrior", "ScaleHyperprior",
+                            "MeanScaleHyperprior")
 
     from dcvc_tpu.models import intra_zoo
 
@@ -491,3 +502,78 @@ def test_zoo_full_forward_parity(kind):
     ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
     d = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
     assert d < 1e-4, f"x_hat maxdiff {d}"
+
+
+@pytest.mark.parametrize("kind", ["joint", "cheng2020"])
+def test_zoo_ar_forward_parity(kind):
+    """mbt2018 / cheng2020-anchor staged parity with ported weights.
+
+    The reference forward reconstructs from means-UNAWARE rounding
+    (DCVC/src/models/priors.py:497 y_hat = round(y)) while its actual
+    compress/decompress path (:585-607) and our model use means-aware
+    rounding, so x_hat is compared staged through g_s on the reference's
+    own y_hat; everything else end-to-end."""
+    import jax
+
+    from dcvc_tpu.models import intra_zoo
+    from dcvc_tpu.utils import port_zoo
+
+    TJ, TC = _import_gen1_models("JointAutoregressiveHierarchicalPriors",
+                                 "Cheng2020Anchor")
+    _seed_all()
+    if kind == "joint":
+        tm = TJ(64, 96)
+        jm = intra_zoo.JointAutoregressiveHierarchicalPriors(N=64, M=96)
+    else:
+        tm = TC(64)
+        jm = intra_zoo.Cheng2020Anchor(N=64, M=64)
+    tm.eval()
+    params_t = port_zoo.convert_zoo(tm.state_dict(), kind)
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    x = torch.rand(1, 3, 64, 128)
+    with torch.no_grad():
+        y = tm.g_a(x)
+        z = tm.h_a(y)
+        z_hat, _ = tm.entropy_bottleneck(z)
+        hyper = tm.h_s(z_hat)
+        y_hat = torch.round(y)
+        ctx = tm.context_prediction(y_hat)
+        gp_ref = tm.entropy_parameters(torch.cat((hyper, ctx), dim=1))
+        x_staged = tm.g_s(y_hat)
+        ref = tm(x)
+
+    def nhwc(t):
+        return jnp.asarray(_t2n(t).transpose(0, 2, 3, 1))
+
+    def rel(a, b):
+        b = np.asarray(b)
+        return float(np.max(np.abs(np.asarray(a) - b)) /
+                     (np.max(np.abs(b)) + 1e-9))
+
+    y_ours = jm.apply(params, nhwc(x), method=lambda m, v: m.g_a(v))
+    assert rel(y_ours, _t2n(y).transpose(0, 2, 3, 1)) < 1e-4
+    z_ours = jm.apply(params, y_ours, method=lambda m, v: m.h_a(v))
+    assert rel(z_ours, _t2n(z).transpose(0, 2, 3, 1)) < 1e-4
+
+    gp_ours = jm.apply(
+        params, nhwc(z_hat), nhwc(y_hat),
+        method=lambda m, zh, yh: m.entropy_parameters(
+            jnp.concatenate([m.h_s(zh), m.context_prediction(yh)], axis=-1)))
+    assert rel(gp_ours, _t2n(gp_ref).transpose(0, 2, 3, 1)) < 5e-4
+
+    xh_ours = jm.apply(params, nhwc(y_hat), method=lambda m, v: m.g_s(v))
+    d = float(np.max(np.abs(np.asarray(xh_ours) -
+                            _t2n(x_staged).transpose(0, 2, 3, 1))))
+    assert d < 1e-4, f"x_hat (staged) maxdiff {d}"
+
+    pix = x.shape[2] * x.shape[3]
+    bits_ref = float(sum((-torch.log2(lk)).sum()
+                         for lk in ref["likelihoods"].values()))
+    out = jm.apply(params, nhwc(x))
+    bpp_ours = float(np.asarray(out["bpp"]).reshape(-1)[0])
+    rel_bpp = abs(bits_ref / pix - bpp_ours) / (bits_ref / pix + 1e-9)
+    assert rel_bpp < 0.01, f"bpp rel diff {rel_bpp}"

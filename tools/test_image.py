@@ -41,7 +41,8 @@ def main():
     from dcvc_tpu.ops.warp import get_padding_size
     from dcvc_tpu.utils import metrics
     from dcvc_tpu.utils.results import dump_json
-    from dcvc_tpu.utils.stream import (decode_i_ushort_q, encode_i_ushort_q,
+    from dcvc_tpu.utils.stream import (decode_i_strings, decode_i_ushort_q,
+                                       encode_i_strings, encode_i_ushort_q,
                                        filesize, get_rounded_q)
 
     images = sorted(glob.glob(os.path.join(args.img_folder, "*.png")))
@@ -55,10 +56,18 @@ def main():
         rt.params = load_params(args.model_path, rt.params, model=args.model)
     rt.update(force=True)
 
-    # q_scales: anchors from the checkpoint (ones at fresh init) log-interp'd
-    anchors = np.asarray(rt.params["params"]["q_scale"]).reshape(-1)
-    q_scales = np.exp(np.linspace(np.log(anchors[0]), np.log(anchors[-1]),
-                                  args.rate_num)) if args.rate_num > 1 else anchors[:1]
+    # q_scales: anchors from the checkpoint (ones at fresh init) log-interp'd.
+    # The CompressAI-zoo families are per-rate models with no q parameter
+    # (DCVC/src/models/priors.py) — one rate point per checkpoint.
+    if "q_scale" in rt.params["params"]:
+        anchors = np.asarray(rt.params["params"]["q_scale"]).reshape(-1)
+        q_scales = np.exp(
+            np.linspace(np.log(anchors[0]), np.log(anchors[-1]),
+                        args.rate_num)) if args.rate_num > 1 else anchors[:1]
+    else:
+        if args.rate_num > 1:
+            print(f"{args.model} is a per-rate model; running 1 rate point")
+        q_scales = [None]
 
     results = {}
     for img_path in images:
@@ -72,7 +81,21 @@ def main():
 
         for rate_idx, q in enumerate(q_scales):
             t0 = time.time()
-            if args.write_stream:
+            if args.write_stream and q is None:  # per-rate zoo model
+                comp = rt.compress(x)
+                os.makedirs(args.stream_path, exist_ok=True)
+                bin_path = os.path.join(args.stream_path,
+                                        f"{name}_{rate_idx}.bin")
+                encode_i_strings(h, w, comp["strings"], bin_path)
+                bit = filesize(bin_path) * 8
+                t1 = time.time()
+                hh, ww, strings = decode_i_strings(bin_path)
+                pl, pr, pt, pb = get_padding_size(hh, ww, 64)
+                ds = 16 if rt.kind == "factorized" else 64
+                shape_hw = ((hh + pt + pb) // ds, (ww + pl + pr) // ds)
+                dec = rt.decompress(strings, shape_hw)
+                x_hat = dec["x_hat"]
+            elif args.write_stream:
                 q_rounded, q_index = get_rounded_q(float(q))
                 comp = rt.compress(x, jnp.asarray(q_rounded))
                 os.makedirs(args.stream_path, exist_ok=True)
@@ -85,7 +108,8 @@ def main():
                 dec = rt.decompress(stream, hh, ww, jnp.asarray(q_idx / 100))
                 x_hat = dec["x_hat"]
             else:
-                out = rt.forward(x, jnp.asarray(float(q)))
+                out = (rt.forward(x) if q is None
+                       else rt.forward(x, jnp.asarray(float(q))))
                 bit = float(out["bit"])
                 t1 = time.time()
                 x_hat = out["x_hat"]
