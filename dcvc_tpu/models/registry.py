@@ -65,6 +65,14 @@ def build(name: str, seed: int = 0, **kwargs):
                "ref_mv_y": None}
         params = module.init(key, x, dpb, jnp.ones(()), jnp.ones(()))
         return module, params, HemVideoRuntime(module, params)
+    if name == "canfvc_dmc":
+        from . import video_canf
+
+        module = video_canf.CANFVCDmc(**kwargs)
+        dpb = {"ref_frame": x, "ref_feature": None, "ref_y": None,
+               "ref_mv_y": None}
+        params = module.init(key, x, dpb, jnp.ones(()), jnp.ones(()))
+        return module, params, HemVideoRuntime(module, params)
     if name == "dmc_tcm":
         module = video_tcm.DMCTcm(**kwargs)
         params = module.init(key, x, x, None)
@@ -82,5 +90,5 @@ MODEL_NAMES = [
     "intra_dc", "intra_hem",
     "bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean", "mbt2018",
     "cheng2020-anchor",
-    "dmc_dc", "dmc_hem", "dmc_tcm", "dcvc_gen1",
+    "dmc_dc", "dmc_hem", "dmc_tcm", "dcvc_gen1", "canfvc_dmc",
 ]

@@ -433,7 +433,10 @@ class DcvcGen1Runtime(_RuntimeBase):
 
         ref = jnp.asarray(referframe)
         zh, zw = get_downsampled_shape(height, width, 64)
-        yh, yw = get_downsampled_shape(height, width, 16)
+        # frames are padded to 64 for this generation, so the y latent is
+        # the hyper decoder's 4x upsample of z — NOT ceil(w/16), which
+        # disagrees when width is not a multiple of 64
+        yh, yw = zh * 4, zw * 4
         N = self.module.channel_N
 
         self.entropy_coder.set_stream(mv_z_string)
@@ -619,7 +622,7 @@ class HemVideoRuntime(_RuntimeBase):
         y_q = jnp.asarray(y_q_scale, jnp.float32)
         self.entropy_coder.set_stream(string)
         zh, zw = get_downsampled_shape(height, width, 64)
-        yh, yw = get_downsampled_shape(height, width, 16)
+        yh, yw = zh * 4, zw * 4  # pad-to-64 contract (see gen-1 note)
         N = self.module.channel_N
 
         mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",

@@ -86,6 +86,12 @@ class CanfMainCoder(nn.Module):
                 code = code - self.analysis[i](x, *contexts)
         return x
 
+    def last_residual(self, x_res, contexts, code):
+        """The fork's x2 regularizer target (video_model.py:785-789): the
+        encode residual minus the LAST synthesis applied to the quantized
+        latent — drives the final flow step to cancel given y_hat."""
+        return x_res - self._synth(self.num_layers - 1, code, contexts)
+
 
 class CANFVCDmc(nn.Module):
     """DMC (HEM) with CANF contextual coding + DQ post-filter."""
@@ -195,6 +201,7 @@ class CANFVCDmc(nn.Module):
         x_hat = self.contextual_coder.decode(jnp.zeros_like(x), contexts, y_hat)
         x_hat = jnp.clip(self.dq(x_hat), 0.0, 1.0)
 
+        x2 = self.contextual_coder.last_residual(x2, contexts, y_hat)
         pixel_num = x.shape[1] * x.shape[2]
         return self._collect(x, x2, warp_frame, y_q, scales_hat, mv_y_q,
                              mv_scales_hat, z_hat, mv_z_hat, x_hat, y_hat,

@@ -57,6 +57,7 @@ def load_params(path: str, like=None, model: str | None = None):
             "dmc_dc": port_dc.convert_dmc,
             "intra_hem": port_hem.convert_intra_hem,
             "dmc_hem": port_hem.convert_dmc_hem,
+            "canfvc_dmc": port_hem.convert_canf_dmc,
             "dmc_tcm": port_tcm.convert_dmc_tcm,
             "dcvc_gen1": port_gen1.convert_dcvc_gen1,
             "bmshj2018-factorized":

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from .port_dc import _Mapper, get_state_dict
 
-__all__ = ["convert_intra_hem", "convert_dmc_hem", "get_state_dict"]
+__all__ = ["convert_intra_hem", "convert_dmc_hem", "convert_canf_dmc",
+           "get_state_dict"]
 
 
 class _HemMapper(_Mapper):
@@ -80,6 +81,37 @@ class _HemMapper(_Mapper):
         self.subpel(f"{t}.up2", *f, "up2")
         self.cbr(f"{t}.up_conv2", *f, "up_conv2")
 
+    def ctx_enc(self, t, *f):
+        """ContextualEncoder (video_model.py:71-93)."""
+        self.conv(f"{t}.conv1", *f, "conv1")
+        self.resblock(f"{t}.res1", *f, "res1")
+        self.conv(f"{t}.conv2", *f, "conv2")
+        self.resblock(f"{t}.res2", *f, "res2")
+        self.conv(f"{t}.conv3", *f, "conv3")
+        self.conv(f"{t}.conv4", *f, "conv4")
+
+    def ctx_dec(self, t, *f):
+        """ContextualDecoder (video_model.py:95-112)."""
+        self.subpel(f"{t}.up1", *f, "up1")
+        self.subpel(f"{t}.up2", *f, "up2")
+        self.resblock(f"{t}.res1", *f, "res1")
+        self.subpel(f"{t}.up3", *f, "up3")
+        self.resblock(f"{t}.res2", *f, "res2")
+        self.subpel(f"{t}.up4", *f, "up4")
+
+    def recon_gen(self, t, *f):
+        """ReconGeneration (video_model.py:115-128)."""
+        self.conv(f"{t}.first_conv", *f, "first_conv")
+        self.hem_unet(f"{t}.unet_1", *f, "unet_1")
+        self.hem_unet(f"{t}.unet_2", *f, "unet_2")
+        self.conv(f"{t}.recon_conv", *f, "recon_conv")
+
+    def drop(self, prefix):
+        """Consume reference keys with no counterpart in our tree."""
+        for k in list(self.sd):
+            if k.startswith(prefix):
+                self.used.add(k)
+
 
 def convert_intra_hem(state_dict: dict) -> dict:
     """IntraNoAR (DCVC-HEM, image_model.py:15-171) -> flax params."""
@@ -99,10 +131,9 @@ def convert_intra_hem(state_dict: dict) -> dict:
     return m.finish()
 
 
-def convert_dmc_hem(state_dict: dict) -> dict:
-    """DMC (DCVC-HEM, video_model.py:131-519) -> flax params."""
-    m = _HemMapper(get_state_dict(state_dict))
-
+def _map_dmc_trunk(m: _HemMapper):
+    """The DMC machinery shared by DMC (HEM) and the fork's CANFVC_DMC:
+    flow, mv codec, feature pyramid, hyper codecs, priors, estimators."""
     for lvl in range(4):
         for j in range(1, 6):
             m.conv(f"optic_flow.moduleBasic.{lvl}.conv{j}",
@@ -116,7 +147,6 @@ def convert_dmc_hem(state_dict: dict) -> dict:
     m.conv_stack3("mv_y_spatial_prior", "mv_y_spatial_prior")
 
     m.conv("feature_adaptor_I", "feature_adaptor_I")
-    m.conv("feature_adaptor_P", "feature_adaptor_P")
     m.conv("feature_extractor.conv1", "feature_extractor", "conv1")
     m.resblock("feature_extractor.res_block1", "feature_extractor", "res1")
     m.conv("feature_extractor.conv2", "feature_extractor", "conv2")
@@ -136,22 +166,6 @@ def convert_dmc_hem(state_dict: dict) -> dict:
     m.conv(f"{fuse}.conv1_out", fuse, "conv1_out")
     m.resblock(f"{fuse}.res_block1_out", fuse, "res1_out")
 
-    enc = "contextual_encoder"
-    m.conv(f"{enc}.conv1", enc, "conv1")
-    m.resblock(f"{enc}.res1", enc, "res1")
-    m.conv(f"{enc}.conv2", enc, "conv2")
-    m.resblock(f"{enc}.res2", enc, "res2")
-    m.conv(f"{enc}.conv3", enc, "conv3")
-    m.conv(f"{enc}.conv4", enc, "conv4")
-
-    dec = "contextual_decoder"
-    m.subpel(f"{dec}.up1", dec, "up1")
-    m.subpel(f"{dec}.up2", dec, "up2")
-    m.resblock(f"{dec}.res1", dec, "res1")
-    m.subpel(f"{dec}.up3", dec, "up3")
-    m.resblock(f"{dec}.res2", dec, "res2")
-    m.subpel(f"{dec}.up4", dec, "up4")
-
     # our reduced hyper encoder names its convs c1..c3
     for i, ci in enumerate((0, 2, 4)):
         m.conv(f"contextual_hyper_prior_encoder.{ci}",
@@ -163,12 +177,6 @@ def convert_dmc_hem(state_dict: dict) -> dict:
     m.conv_stack3("y_prior_fusion", "y_prior_fusion")
     m.conv_stack3("y_spatial_prior", "y_spatial_prior")
 
-    rg = "recon_generation_net"
-    m.conv(f"{rg}.first_conv", rg, "first_conv")
-    m.hem_unet(f"{rg}.unet_1", rg, "unet_1")
-    m.hem_unet(f"{rg}.unet_2", rg, "unet_2")
-    m.conv(f"{rg}.recon_conv", rg, "recon_conv")
-
     m.bit_estimator("bit_estimator_z", "bit_estimator_z")
     m.bit_estimator("bit_estimator_z_mv", "bit_estimator_z_mv")
     for n in ("mv_y_q_basic", "y_q_basic"):
@@ -176,4 +184,41 @@ def convert_dmc_hem(state_dict: dict) -> dict:
         m.out[n] = m.out[n].transpose(0, 2, 3, 1)
     for n in ("mv_y_q_scale", "y_q_scale"):
         m.param(n, (n,))
+
+
+def convert_dmc_hem(state_dict: dict) -> dict:
+    """DMC (DCVC-HEM, video_model.py:131-519) -> flax params."""
+    m = _HemMapper(get_state_dict(state_dict))
+    _map_dmc_trunk(m)
+    m.conv("feature_adaptor_P", "feature_adaptor_P")
+    m.ctx_enc("contextual_encoder", "contextual_encoder")
+    m.ctx_dec("contextual_decoder", "contextual_decoder")
+    m.recon_gen("recon_generation_net", "recon_generation_net")
+    return m.finish()
+
+
+def convert_canf_dmc(state_dict: dict) -> dict:
+    """CANFVC_DMC (fork, video_model.py:523-840) -> flax params.
+
+    The contextual enc/dec/recon are replaced by the 2-layer conditional
+    ANF ladder (analysis{i} wraps ContextualEncoder; synthesis{i} wraps
+    ContextualDecoder + ReconGeneration) plus the DQ post-filter. The
+    checkpoint still carries feature_adaptor_P from the DMC base class,
+    but the fork pins ref_feature=None (:655) so it is never used — drop.
+    """
+    m = _HemMapper(get_state_dict(state_dict))
+    _map_dmc_trunk(m)
+    cc = "contextual_coder"
+    for i in range(2):
+        m.ctx_enc(f"{cc}.analysis{i}.model", cc, f"analysis_{i}")
+        m.ctx_dec(f"{cc}.synthesis{i}.model_part1", cc, f"synthesis_dec_{i}")
+        m.recon_gen(f"{cc}.synthesis{i}.model_part2", cc,
+                    f"synthesis_recon_{i}")
+    m.conv("DQ.conv1", "dq", "conv1")
+    for i in range(6):
+        m.conv(f"DQ.resblock.{i}.0", "dq", f"res{i}_c1")
+        m.conv(f"DQ.resblock.{i}.2", "dq", f"res{i}_c2")
+    m.conv("DQ.conv2", "dq", "conv2")
+    m.conv("DQ.conv3", "dq", "conv3")
+    m.drop("feature_adaptor_P.")
     return m.finish()

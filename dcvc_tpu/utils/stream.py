@@ -83,6 +83,27 @@ def decode_i_ushort_q(inputpath):
     return height, width, q_index, bit_stream
 
 
+def pack_strings(strings) -> bytes:
+    """Length-prefix N substreams into one payload (gen-1 P-frames carry
+    mv_z/mv_y/z/y separately, DCVC/src/utils/stream_helper.py:127-146)."""
+    out = [struct.pack(">B", len(strings))]
+    for s in strings:
+        out.append(struct.pack(">I", len(s)))
+        out.append(s)
+    return b"".join(out)
+
+
+def unpack_strings(payload: bytes) -> list:
+    n = struct.unpack(">B", payload[:1])[0]
+    strings, off = [], 1
+    for _ in range(n):
+        length = struct.unpack(">I", payload[off:off + 4])[0]
+        off += 4
+        strings.append(payload[off:off + length])
+        off += length
+    return strings
+
+
 # -- gen-1 style: h,w + N length-prefixed substreams ------------------------
 # (DCVC/src/utils/stream_helper.py:108-163 writes each latent's string with
 # its own length; used for the per-rate CompressAI zoo intra models)

@@ -182,13 +182,14 @@ def _import_hem():
         sys.path.remove(p)
     sys.path.insert(0, hem)
     from src.models.image_model import IntraNoAR as HemIntra
+    from src.models.video_model import CANFVC_DMC as HemCANF
     from src.models.video_model import DMC as HemDMC
     for mod in [m for m in list(sys.modules)
                 if m == "src" or m.startswith("src.")]:
         del sys.modules[mod]
     sys.path.remove(hem)
     sys.path.insert(0, "/root/reference/DCVC-DC")
-    return HemIntra, HemDMC
+    return HemIntra, HemDMC, HemCANF
 
 
 def _tree_paths(tree, pre=""):
@@ -211,7 +212,7 @@ def test_hem_intra_full_forward_parity():
 
     from dcvc_tpu.utils import port_hem
 
-    HemIntra, _ = _import_hem()
+    HemIntra, _, _ = _import_hem()
     _seed_all()
     tm = HemIntra()
     tm.eval()
@@ -257,7 +258,7 @@ def test_hem_dmc_full_forward_parity():
 
     from dcvc_tpu.utils import port_hem
 
-    _, HemDMC = _import_hem()
+    _, HemDMC, _ = _import_hem()
     _seed_all()
     tm = HemDMC(anchor_num=4)
     tm.eval()
@@ -577,3 +578,63 @@ def test_zoo_ar_forward_parity(kind):
     bpp_ours = float(np.asarray(out["bpp"]).reshape(-1)[0])
     rel_bpp = abs(bits_ref / pix - bpp_ours) / (bits_ref / pix + 1e-9)
     assert rel_bpp < 0.01, f"bpp rel diff {rel_bpp}"
+
+
+def test_canf_dmc_full_forward_parity():
+    """CANFVC_DMC (fork): converted tree structure, flow, the full ANF
+    encode/decode ladder via x2 + BDQ stages, and estimated bpp."""
+    import jax
+
+    from dcvc_tpu.utils import port_hem
+
+    _, _, HemCANF = _import_hem()
+    _seed_all()
+    tm = HemCANF(anchor_num=4)
+    tm.eval()
+    from dcvc_tpu.models.video_canf import CANFVCDmc
+
+    jm = CANFVCDmc()
+    params_t = port_hem.convert_canf_dmc(tm.state_dict())
+    dpb0 = {"ref_frame": jnp.zeros((1, 64, 64, 3)), "ref_feature": None,
+            "ref_y": None, "ref_mv_y": None}
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), dpb0,
+                   jnp.ones(()), jnp.ones(()))
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    H, W = 64, 128
+    x = torch.rand(1, 3, H, W)
+    ref_frame = torch.rand(1, 3, H, W)
+    ref_y = torch.rand(1, 96, H // 16, W // 16) * 0.5
+    ref_mv_y = torch.rand(1, 64, H // 16, W // 16) * 0.5
+    dpb_t = {"ref_frame": ref_frame, "ref_feature": None,
+             "ref_y": ref_y, "ref_mv_y": ref_mv_y}
+    with torch.no_grad():
+        ref = tm.forward_one_frame(x, dpb_t,
+                                   mv_y_q_scale=tm.mv_y_q_scale[0:1],
+                                   y_q_scale=tm.y_q_scale[0:1])
+        mv_ref = tm.optic_flow(x, ref_frame)
+
+    def nhwc(t):
+        return jnp.asarray(_t2n(t).transpose(0, 2, 3, 1))
+
+    dpb_j = {"ref_frame": nhwc(ref_frame), "ref_feature": None,
+             "ref_y": nhwc(ref_y), "ref_mv_y": nhwc(ref_mv_y)}
+    out = jm.apply(params, nhwc(x), dpb_j, jnp.ones(()), jnp.ones(()))
+
+    mv_ours = jm.apply(params, nhwc(x), nhwc(ref_frame),
+                       method=lambda m, a, b: m.optic_flow(a, b))
+    mv_ref_n = _t2n(mv_ref).transpose(0, 2, 3, 1)
+    rel_mv = np.max(np.abs(np.asarray(mv_ours) - mv_ref_n)) / (
+        np.max(np.abs(mv_ref_n)) + 1e-6)
+    assert rel_mv < 1e-3, f"optic_flow rel diff {rel_mv}"
+    rel_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0])) / (
+        abs(float(ref["bpp"])) + 1e-6)
+    assert rel_bpp < 0.02, f"bpp rel diff {rel_bpp}"
+    # x2 (ANF last-layer residual regularizer): sum/HW in the reference vs
+    # mean over CHW here -> compare x2_mse*3 against the reference value
+    ref_x2 = float(ref["x2_mse"])
+    ours_x2 = 3.0 * float(out["x2_mse"][0])
+    assert abs(ref_x2 - ours_x2) / (abs(ref_x2) + 1e-6) < 0.05, \
+        f"x2_mse rel diff {ref_x2} vs {ours_x2}"

@@ -61,3 +61,51 @@ def test_run_sequence_write_stream(seq_dir, intra_rt, tmp_path):
     assert summary["ave_all_frame_bpp"] < est["ave_all_frame_bpp"] * 1.2 + 0.01
     # decoded frames written
     assert len(os.listdir(tmp_path / "decoded" / "testseq")) == 2
+
+
+@pytest.mark.parametrize("gen", ["hem", "tcm", "gen1", "zoo_i"])
+def test_run_sequence_adapters(gen, seq_dir, tmp_path):
+    """Every non-DC generation drives the same GOP runner through the
+    adapters (runner/adapters.py), estimated-bits + write_stream."""
+    from dcvc_tpu.models.registry import build
+    from dcvc_tpu.runner.adapters import adapt_i_runtime, adapt_p_runtime
+
+    if gen == "hem":
+        _, _, i_rt = build("intra_hem", N=16)
+        _, _, p_rt = build("dmc_hem", channel_mv=16, channel_N=16,
+                           channel_M=24)
+    elif gen == "tcm":
+        _, _, i_rt = build("mbt2018-mean", N=16, M=24)
+        _, _, p_rt = build("dmc_tcm", channel_mv=16, channel_N=16,
+                           channel_M=24)
+    elif gen == "gen1":
+        _, _, i_rt = build("bmshj2018-factorized", N=16, M=24)
+        _, _, p_rt = build("dcvc_gen1", channel_mv=16, channel_N=16,
+                           channel_M=24)
+    else:  # intra-only with a zoo model
+        _, _, i_rt = build("bmshj2018-hyperprior", N=16, M=24)
+        p_rt = None
+    i_rt.update(force=True)
+    i_rt = adapt_i_runtime(i_rt)
+    if p_rt is not None:
+        p_rt.update(force=True)
+        p_rt = adapt_p_runtime(p_rt)
+
+    spec = SequenceSpec("testseq", seq_dir, 96, 64, 3, gop=32)
+    intra_period = 1 if p_rt is None else 3
+    est = run_sequence(i_rt, p_rt, spec,
+                       EvalConfig(intra_period=intra_period, frame_num=3,
+                                  pad_multiple=64,
+                                  stream_path=str(tmp_path / "s_est")),
+                       q_index_i=0, q_index_p=0)
+    assert est["frame_num"] == 3
+    assert est["ave_all_frame_bpp"] > 0
+    assert np.isfinite(est["ave_all_frame_psnr"])
+
+    ws = run_sequence(i_rt, p_rt, spec,
+                      EvalConfig(intra_period=intra_period, frame_num=3,
+                                 pad_multiple=64, write_stream=True,
+                                 stream_path=str(tmp_path / "s_ws")),
+                      q_index_i=0, q_index_p=0)
+    assert len(os.listdir(tmp_path / "s_ws")) == 3
+    assert ws["ave_all_frame_bpp"] > 0

@@ -50,6 +50,8 @@ def main():
     with open(args.test_config) as f:
         specs = load_dataset_config(json.load(f))
 
+    from dcvc_tpu.runner.adapters import adapt_i_runtime, adapt_p_runtime
+
     _, _, i_rt = build(args.i_frame_model)
     if args.model_path_i:
         from dcvc_tpu.utils.checkpoint import load_params
@@ -58,6 +60,7 @@ def main():
                                    model=args.i_frame_model)
     i_rt.ec_thread, i_rt.stream_part = bool(args.ec_thread), args.stream_part_i
     i_rt.update(force=True)
+    i_rt = adapt_i_runtime(i_rt)
 
     p_rt = None
     if not args.force_intra:
@@ -69,6 +72,7 @@ def main():
                                        model=args.p_frame_model)
         p_rt.ec_thread, p_rt.stream_part = bool(args.ec_thread), args.stream_part_p
         p_rt.update(force=True)
+        p_rt = adapt_p_runtime(p_rt)
 
     if args.q_indexes:
         q_indexes = args.q_indexes
@@ -81,7 +85,12 @@ def main():
 
     # pad-to-multiple contract: DC generation pads to 16, older gens to 64
     # (reference test_video.py per-repo padding)
-    pad_multiple = 16 if args.p_frame_model in ("dmc_dc", None) else 64
+    def _pad_for(model):
+        return 16 if model in ("intra_dc", "dmc_dc") else 64
+
+    pad_multiple = (_pad_for(args.i_frame_model) if args.force_intra else
+                    max(_pad_for(args.i_frame_model),
+                        _pad_for(args.p_frame_model)))
 
     results = {}
     t0 = time.time()
