@@ -31,9 +31,14 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
 
 
 def rd_loss(x, x_hat, bpp, lambdas):
-    """Per-sample lambda * MSE * 255^2-free formulation: the fork uses
-    lambda * mse(x, x_hat) + bpp with x in [0,1]."""
-    mse = jnp.mean((x - x_hat) ** 2, axis=(1, 2, 3))
+    """Per-sample lambda * distortion + bpp with x in [0,1].
+
+    Distortion follows the reference convention sum-over-CHW / (H*W)
+    (HEM video_model.py:464 `torch.sum(mse, dim=(1,2,3)) / pixel_num`,
+    i.e. 3x the all-axis mean) so the fork's lambda values {85..840}
+    produce the same RD trade-off here."""
+    pixel_num = x.shape[1] * x.shape[2]
+    mse = jnp.sum((x - x_hat) ** 2, axis=(1, 2, 3)) / pixel_num
     return jnp.mean(lambdas * mse + bpp)
 
 

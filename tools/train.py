@@ -29,7 +29,8 @@ def main():
     import jax.numpy as jnp
 
     from dcvc_tpu.training.data import SyntheticClips, VimeoDataset
-    from dcvc_tpu.training.trainer import PFrameTrainer
+    from dcvc_tpu.training.trainer import (PFrameTrainer, dmc_dc_adapter,
+                                           hem_adapter)
 
     if args.model == "dmc_dc":
         from dcvc_tpu.models.video_dc import DMC
@@ -56,7 +57,9 @@ def main():
         params = jax.jit(module.init)(jax.random.PRNGKey(0), x, dpb,
                                       jnp.ones(()), jnp.ones(()))
 
-    trainer = PFrameTrainer(module, params, workdir=args.workdir)
+    adapter = dmc_dc_adapter if args.model == "dmc_dc" else hem_adapter
+    trainer = PFrameTrainer(module, params, workdir=args.workdir,
+                            apply_adapter=adapter)
     if args.restore:
         trainer.restore(args.restore)
 
