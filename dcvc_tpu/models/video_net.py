@@ -22,7 +22,7 @@ from ..layers.blocks import (
     conv,
     leaky_relu,
 )
-from ..ops.warp import bilinear_up2, flow_warp
+from ..ops.warp import bilinear_up2, flow_warp, tile_warp
 
 
 class MEBasic(nn.Module):
@@ -74,6 +74,12 @@ class OffsetDiversity(nn.Module):
     # >1 processes the G*O warp maps in sequential chunks (lax.scan) to cut
     # peak HBM by ~chunks at full-res; identical numerics
     warp_chunks: int = 1
+    # warp mode: None -> env DCVC_TPU_OD_WARP ("exact" default). "tile" or
+    # "tile:T,R" uses the approximate row-tile warp (ops/warp.py:tile_warp):
+    # per-pixel offsets resolve exactly while they stay within +-R of their
+    # 1xT run's rounded mean, clamp otherwise. ~1.9x faster than the exact
+    # per-pixel gather (the DMC frame's dominant cost) at T=16 R=2.
+    warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -101,6 +107,15 @@ class OffsetDiversity(nn.Module):
         xg = x.reshape(B, H, W, G, Cg)
         xg = jnp.concatenate([xg] * O, axis=3)  # [B, H, W, G*O, Cg]
 
+        import os
+
+        mode = self.warp_mode or os.environ.get("DCVC_TPU_OD_WARP", "exact")
+        if mode.startswith("tile"):
+            t_r = mode.split(":", 1)[1].split(",") if ":" in mode else (16, 2)
+            warp = lambda a, b: tile_warp(a, b, int(t_r[0]), int(t_r[1]))
+        else:
+            warp = flow_warp
+
         # fold the G*O maps into the batch for one big vectorized warp
         xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * G * O, H, W, Cg)
         off = offset.transpose(0, 3, 1, 2, 4).reshape(B * G * O, H, W, 2)
@@ -111,7 +126,7 @@ class OffsetDiversity(nn.Module):
 
             def body(_, args):
                 xg_c, off_c, m_c = args
-                return None, flow_warp(xg_c, off_c) * m_c
+                return None, warp(xg_c, off_c) * m_c
 
             _, warped = jax.lax.scan(
                 body, None,
@@ -120,7 +135,7 @@ class OffsetDiversity(nn.Module):
                  m.reshape(nc, per, H, W, 1)))
             warped = warped.reshape(B * G * O, H, W, Cg)
         else:
-            warped = flow_warp(xg, off) * m
+            warped = warp(xg, off) * m
         warped = warped.reshape(B, G * O, H, W, Cg).transpose(0, 2, 3, 1, 4)
         warped = warped.reshape(B, H, W, G * O * Cg)
 

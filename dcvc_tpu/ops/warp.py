@@ -170,6 +170,107 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _tile_warp1(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int):
+    """Single-batch row-tile warp core. im [1,H,W,C], flow [1,H,W,2]."""
+    _, H, W, C = im.shape
+    A = 2 * R + 2               # packed row-channel count (floor(ry) in
+    # [-R, R-1] plus the +1 bilinear tap)
+    K = T + 2 * R + 2           # slice width; kept EVEN — odd slice widths
+    # fall off the TPU gather fast path (measured 9.7us/slice at width 21
+    # vs 183ns at width 22 on v5e)
+
+    nt = W // T
+    offt = flow.reshape(1, H, nt, T, 2)
+    base = jnp.round(jnp.mean(offt, axis=3))             # [1, H, nt, 2]
+
+    # slice starts (with border clamping folded back into the residual)
+    pads = R + 1
+    Wp = W + pads + K
+    ys_raw = jnp.arange(H)[None, :, None] + base[..., 1].astype(jnp.int32)
+    xs_raw = (jnp.arange(nt)[None, None, :] * T
+              + base[..., 0].astype(jnp.int32) - R + pads)
+    ys = jnp.clip(ys_raw, 0, H - 1)
+    xs = jnp.clip(xs_raw, 0, Wp - K)
+    # effective base after clamping; the clamp delta shifts the residual so
+    # interior pixels near borders still resolve to the right source texel
+    eff = jnp.stack([base[..., 0] - (xs_raw - xs).astype(base.dtype),
+                     base[..., 1] - (ys_raw - ys).astype(base.dtype)], -1)
+    res = offt - eff[:, :, :, None, :]
+    res = jnp.clip(res, -R, R - 1e-4)                    # [1, H, nt, T, 2]
+
+    rx, ry = res[..., 0], res[..., 1]
+    fx0 = jnp.floor(rx)
+    fy0 = jnp.floor(ry)
+    wx = (rx - fx0)[..., None]
+    wy = (ry - fy0)[..., None]
+    bx = (fx0 + R).astype(jnp.int32)
+    ay = (fy0 + R).astype(jnp.int32)
+    one_x = jax.nn.one_hot(bx, A - 1, dtype=im.dtype)
+    one_y = jax.nn.one_hot(ay, A - 1, dtype=im.dtype)
+    wx = wx.astype(im.dtype)
+    wy = wy.astype(im.dtype)
+    pad_hi = ((0, 0),) * 4 + ((0, 1),)
+    pad_lo = ((0, 0),) * 4 + ((1, 0),)
+    Wxw = jnp.pad(one_x * (1 - wx), pad_hi) + jnp.pad(one_x * wx, pad_lo)
+    Wyw = jnp.pad(one_y * (1 - wy), pad_hi) + jnp.pad(one_y * wy, pad_lo)
+
+    # packed operand: rows r-R .. r+R+1 folded into channels, edge-clamped
+    srcp = jnp.pad(im, ((0, 0), (R, R + 1), (pads, K), (0, 0)), mode="edge")
+    packed = jnp.concatenate([srcp[:, a:a + H] for a in range(A)], axis=-1)
+
+    idx = jnp.stack([ys, xs], axis=-1).reshape(1, H * nt, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(), start_indices_batching_dims=())
+
+    def g1(op3, ix2):
+        return jax.lax.gather(op3[None], ix2, dn,
+                              slice_sizes=(1, 1, K, A * C),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    # vmap form (operand_batching_dims lowering) — the plain
+    # collapsed_slice_dims form SIGILLs TPU layout assignment
+    sl = jax.vmap(g1)(packed, idx).reshape(H, nt, K, A, C)
+
+    # separable residual resolve: horizontal window combine, then packed-row
+    out_h = jnp.zeros((H, nt, T, A, C), sl.dtype)
+    for b in range(A):
+        out_h = out_h + Wxw[0, ..., b, None, None] * jax.lax.slice_in_dim(
+            sl, b, b + T, axis=2)
+    out = jnp.sum(Wyw[0, ..., None] * out_h, axis=3)
+    return out.reshape(1, H, nt * T, C)
+
+
+def tile_warp(im: jnp.ndarray, flow: jnp.ndarray, tile: int = 16,
+              residual: int = 2) -> jnp.ndarray:
+    """APPROXIMATE backward warp: one gather slice per 1x``tile`` run.
+
+    Decomposes per-pixel offsets into a per-run integer base (rounded mean)
+    plus a per-pixel residual clamped to [-residual, residual). EXACT
+    (matches flow_warp) whenever every pixel's offset deviates from its
+    run's rounded mean by less than ``residual`` in both axes; otherwise
+    the residual clamps (bounded approximation). Cuts gather-slice count
+    ``tile``-fold: the exact warp is issue-rate-bound at ~17ns per pixel
+    per map (DCVC-DC OffsetDiversity = 71%% of the DMC frame), this form
+    is byte-bound at ~10-17GB/s (measured ~1.9x for G*O=32 3-channel maps
+    at 720p, T=16 R=2 f32).
+    """
+    B, H, W, _ = im.shape
+    pad_w = (-W) % tile
+    if pad_w:
+        im = jnp.pad(im, ((0, 0), (0, 0), (0, pad_w), (0, 0)), mode="edge")
+        flow = jnp.pad(flow, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
+                       mode="edge")
+    if B == 1:
+        out = _tile_warp1(im, flow, tile, residual)
+    else:
+        out = jax.lax.map(
+            lambda ab: _tile_warp1(ab[0][None], ab[1][None], tile,
+                                   residual)[0], (im, flow))
+    return out[:, :, :W] if pad_w else out
+
+
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Half-pixel-centered bilinear resize, NHWC (align_corners=False)."""
     B, _, _, C = x.shape

@@ -9,6 +9,7 @@ batched inputs (reference semantics: DCVC-DC/src/models/video_net.py:8-38).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from dcvc_tpu.ops import warp as warp_mod
@@ -58,3 +59,76 @@ def test_default_flow_warp_jits_and_grads():
     g = jax.jit(jax.grad(loss))(flow)
     assert g.shape == flow.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestTileWarp:
+    """tile_warp (approximate row-tile warp): exact within its residual
+    bound, bounded approximation outside, batch/odd-width handling."""
+
+    def _smooth_off(self, H, W, amp=3.0):
+        gy, gx = jnp.meshgrid(jnp.linspace(0, 6.28, H),
+                              jnp.linspace(0, 6.28, W), indexing="ij")
+        return jnp.stack([amp * jnp.sin(gx), amp * jnp.cos(gy)],
+                         -1)[None]
+
+    def test_matches_exact_within_bound(self):
+        from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+        rng = np.random.default_rng(0)
+        im = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+        off = self._smooth_off(64, 128)
+        a = np.asarray(flow_warp(im, off))
+        b = np.asarray(tile_warp(im, off, 16, 2))
+        # interior: smooth offsets deviate <R from any 16-run mean
+        assert np.max(np.abs(a - b)[:, 4:-4, 16:-16]) < 1e-5
+
+    def test_tile_constant_offsets_exact_everywhere(self):
+        from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+        rng = np.random.default_rng(1)
+        im = jnp.asarray(rng.random((1, 32, 64, 5)), jnp.float32)
+        for ox, oy in ((0.0, 0.0), (2.5, -1.25), (-3.0, 4.5)):
+            off = jnp.zeros((1, 32, 64, 2)).at[..., 0].set(ox).at[..., 1].set(oy)
+            a = np.asarray(flow_warp(im, off))
+            b = np.asarray(tile_warp(im, off, 16, 2))
+            np.testing.assert_allclose(b, a, atol=1e-5)
+
+    def test_batch_matches_loop(self):
+        from dcvc_tpu.ops.warp import tile_warp
+
+        rng = np.random.default_rng(2)
+        im = jnp.asarray(rng.random((3, 32, 64, 2)), jnp.float32)
+        off = jnp.concatenate([self._smooth_off(32, 64, a)
+                               for a in (1.0, 2.0, 3.0)])
+        full = np.asarray(tile_warp(im, off, 16, 2))
+        for b in range(3):
+            one = np.asarray(tile_warp(im[b:b + 1], off[b:b + 1], 16, 2))
+            np.testing.assert_allclose(full[b:b + 1], one, atol=1e-6)
+
+    def test_width_not_multiple_of_tile(self):
+        from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+        rng = np.random.default_rng(3)
+        im = jnp.asarray(rng.random((1, 32, 56, 3)), jnp.float32)
+        # low amplitude: at W=56 the field varies fast per 16-px run, and
+        # amp=3 legitimately exceeds the residual bound at tile boundaries
+        off = self._smooth_off(32, 56, amp=1.0)
+        a = np.asarray(flow_warp(im, off))
+        b = np.asarray(tile_warp(im, off, 16, 2))
+        assert b.shape == a.shape
+        assert np.max(np.abs(a - b)[:, 4:-4, 16:-16]) < 1e-5
+
+    def test_offset_diversity_tile_mode_runs(self):
+        import jax
+
+        from dcvc_tpu.models.video_net import OffsetDiversity
+
+        m = OffsetDiversity(in_channel=12, group_num=4, head_ch=8,
+                            warp_mode="tile:16,2")
+        x = jnp.ones((1, 32, 64, 12))
+        aux = jnp.ones((1, 32, 64, 8))
+        flow = jnp.zeros((1, 32, 64, 2))
+        params = m.init(jax.random.PRNGKey(0), x, aux, flow)
+        out = m.apply(params, x, aux, flow)
+        assert out.shape == (1, 32, 64, 12)
+        assert np.all(np.isfinite(np.asarray(out)))

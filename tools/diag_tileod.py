@@ -111,9 +111,9 @@ def tile_warp(src, off, T=16, R=2):
 
 
 def sweep(src, off):
-    for T, R, dt in ((16, 2, jnp.bfloat16), (32, 2, jnp.bfloat16),
-                     (16, 1, jnp.bfloat16), (32, 1, jnp.bfloat16),
-                     (16, 2, jnp.float32)):
+    for T, R, dt in ((16, 2, jnp.float32), (16, 1, jnp.float32),
+                     (32, 1, jnp.float32), (32, 2, jnp.float32),
+                     (64, 1, jnp.float32)):
         s16 = src.astype(dt)
         o16 = off.astype(jnp.float32)
         fn = jax.jit(lambda s, o, T=T, R=R: tile_warp(s, o, T, R))
