@@ -21,7 +21,8 @@ import numpy as np
 from ..ops.warp import get_padding_size
 from ..utils import color, metrics
 from ..utils.stream import decode_i, decode_p, encode_i, encode_p, filesize
-from ..utils.video_io import PNGReader, PNGWriter, YUVReader
+from ..utils.video_io import (PNGReader, PNGWriter, YUVReader,
+                              YUVWriter)
 
 
 @dataclass
@@ -71,8 +72,14 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
 
     recon_writer = None
     if cfg.decoded_path:
-        recon_writer = PNGWriter(
-            os.path.join(cfg.decoded_path, seq.name), seq.width, seq.height)
+        if seq.src_type == "png":
+            recon_writer = PNGWriter(
+                os.path.join(cfg.decoded_path, seq.name), seq.width,
+                seq.height)
+        else:  # YUV sources get a YUV recon (DCVC-DC/test_video.py:86-88)
+            recon_writer = YUVWriter(
+                os.path.join(cfg.decoded_path, seq.name), seq.width,
+                seq.height)
 
     frame_num = min(cfg.frame_num, seq.frames)
     intra_period = cfg.intra_period if cfg.intra_period > 0 else frame_num
@@ -105,13 +112,22 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
         fr = {"bits": float(bit), "bpp": float(bit) / pixel_num,
               "encoding_time": t1 - t0, "decoding_time": t2 - t1}
         if cfg.yuv420_metrics or seq.src_type != "png":
-            psnrs = [metrics.calc_psnr(frame_np[..., i], recon[..., i],
-                                       data_range=1) for i in range(3)]
+            # metric contract is the 420 domain: per-plane PSNR/MS-SSIM on
+            # (y, subsampled u, v), weighted (6,1,1)/8
+            # (DCVC-DC/test_video.py:169-186)
+            fy, fuv = color.ycbcr444_to_420(frame_np)
+            ry, ruv = color.ycbcr444_to_420(recon)
+            psnrs = [metrics.calc_psnr(fy, ry, data_range=1),
+                     metrics.calc_psnr(fuv[0], ruv[0], data_range=1),
+                     metrics.calc_psnr(fuv[1], ruv[1], data_range=1)]
             fr["psnr_y"], fr["psnr_u"], fr["psnr_v"] = psnrs
             fr["psnr"] = metrics.yuv_psnr_6_1_1(*psnrs)
             if cfg.calc_ssim:
-                fr["msssim"] = metrics.calc_msssim(frame_np[..., 0],
-                                                   recon[..., 0], data_range=1)
+                ssims = [metrics.calc_msssim(fy, ry, data_range=1),
+                         metrics.calc_msssim(fuv[0], ruv[0], data_range=1),
+                         metrics.calc_msssim(fuv[1], ruv[1], data_range=1)]
+                fr["msssim_y"], fr["msssim_u"], fr["msssim_v"] = ssims
+                fr["msssim"] = metrics.yuv_psnr_6_1_1(*ssims)
         else:
             fr["psnr"] = metrics.calc_psnr(frame_np, recon, data_range=1)
             if cfg.calc_ssim:
@@ -119,9 +135,11 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                                                        data_range=1)
         frame_results.append(fr)
         if recon_writer is not None:
-            out_rgb = (recon if seq.src_type == "png"
-                       else color.ycbcr_to_rgb(recon))
-            recon_writer.write_one_frame(out_rgb)
+            if seq.src_type == "png":
+                recon_writer.write_one_frame(recon)
+            else:
+                ry, ruv = color.ycbcr444_to_420(recon)
+                recon_writer.write_one_frame(ry, ruv)
         if cfg.verbose >= 2:
             print(f"  frame {frame_idx}: bpp={fr['bpp']:.4f} "
                   f"psnr={fr['psnr']:.2f} "
@@ -134,7 +152,10 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
             frame = rgb
         else:
             y, uv = reader.read_one_frame()
-            frame = color.ycbcr420_to_444(y, uv)
+            # order=0 (nearest) is the reference's model-input path
+            # (DCVC-DC/test_video.py:112) and makes the 444->420 metric
+            # round trip reproduce the source chroma planes exactly
+            frame = color.ycbcr420_to_444(y, uv, order=0)
         if frame is None:
             break
         padded, pad = _pad_frame(frame.astype(np.float32), cfg.pad_multiple)
@@ -196,6 +217,8 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
 
     _finish_pending()
     reader.close()
+    if recon_writer is not None and hasattr(recon_writer, "close"):
+        recon_writer.close()
     from ..utils.results import summarize_sequence
 
     summary = summarize_sequence(frame_results, is_i)

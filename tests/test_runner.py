@@ -109,3 +109,28 @@ def test_run_sequence_adapters(gen, seq_dir, tmp_path):
                       q_index_i=0, q_index_p=0)
     assert len(os.listdir(tmp_path / "s_ws")) == 3
     assert ws["ave_all_frame_bpp"] > 0
+
+
+def test_run_sequence_yuv420_metrics(tmp_path, intra_rt):
+    """YUV420 source: metrics per plane in the 420 domain, (6Y+U+V)/8
+    weighting, source chroma reproduced exactly through the order-0
+    up/down round trip (DCVC-DC/test_video.py:110-186 contract)."""
+    rng = np.random.default_rng(0)
+    H, W, n = 192, 192, 1  # chroma >= 88: the HM MS-SSIM rule asserts below
+    yuv_path = tmp_path / "seq.yuv"
+    with open(yuv_path, "wb") as f:
+        for _ in range(n):
+            f.write(rng.integers(0, 256, H * W, dtype=np.uint8).tobytes())
+            f.write(rng.integers(0, 256, H * W // 2, dtype=np.uint8).tobytes())
+
+    spec = SequenceSpec("yuvseq", str(yuv_path), W, H, n, gop=32,
+                        src_type="yuv420")
+    cfg = EvalConfig(intra_period=1, frame_num=n, yuv420_metrics=True,
+                     calc_ssim=True, stream_path=str(tmp_path / "s"))
+    summary = run_sequence(intra_rt, None, spec, cfg, q_index_i=0)
+    for k in ("psnr_y", "psnr_u", "psnr_v", "msssim_y", "msssim"):
+        assert f"ave_all_frame_{k}" in summary
+    yuv = (6 * summary["ave_all_frame_psnr_y"]
+           + summary["ave_all_frame_psnr_u"]
+           + summary["ave_all_frame_psnr_v"]) / 8
+    assert abs(yuv - summary["ave_all_frame_psnr"]) < 1e-6
