@@ -90,3 +90,16 @@ def test_summarize_sequence():
     assert abs(s["ave_i_frame_bpp"] - 0.1) < 1e-9
     assert abs(s["ave_p_frame_bpp"] - 0.025) < 1e-9
     assert abs(s["ave_all_frame_psnr"] - 33.0) < 1e-9
+
+
+def test_bd_metrics():
+    """Bjontegaard deltas: identical curves -> 0; a +1dB-everywhere curve
+    -> BD-PSNR +1dB and negative BD-rate."""
+    from dcvc_tpu.utils.rd_numbers import EVC_KODAK, bd_psnr, bd_rate
+
+    a = EVC_KODAK["EncL_DecL"]
+    assert abs(bd_rate(a["bpp"], a["psnr"], a["bpp"], a["psnr"])) < 1e-9
+    assert abs(bd_psnr(a["bpp"], a["psnr"], a["bpp"], a["psnr"])) < 1e-9
+    up = [p + 1.0 for p in a["psnr"]]
+    assert abs(bd_psnr(a["bpp"], a["psnr"], a["bpp"], up) - 1.0) < 1e-6
+    assert bd_rate(a["bpp"], a["psnr"], a["bpp"], up) < -10
