@@ -69,7 +69,8 @@ def load_params(path: str, like=None, model: str | None = None):
             "cheng2020-anchor":
                 lambda sd: port_zoo.convert_zoo(sd, "cheng2020"),
         }
-        if model and model.startswith("evc"):
+        converters["evc_scalable"] = port_dc.convert_evc_scalable
+        if model and model.startswith("evc") and model not in converters:
             converters[model] = port_dc.convert_evc
         if model not in converters:
             raise ValueError(

@@ -192,22 +192,18 @@ def convert_intra_dc(state_dict: dict) -> dict:
     return m.finish()
 
 
-def convert_evc(state_dict: dict) -> dict:
-    """EVC intra (any enc/dec size grid) torch state_dict -> flax params.
+def _evc_encoder(m: _Mapper, src: str, dst: tuple):
+    m.rbws(f"{src}.0", *dst, "down1")
+    m.dcb(f"{src}.1", *dst, "block1", two=False, seq=True)
+    m.rbws(f"{src}.2", *dst, "down2")
+    m.dcb(f"{src}.3", *dst, "block2", two=False, seq=True)
+    m.rbws(f"{src}.4", *dst, "down3")
+    m.dcb(f"{src}.5", *dst, "block3", two=False, seq=True)
+    m.conv(f"{src}.6", *dst, "down4")
 
-    Reference: EVC/src/models/image_model.py:16-28 + layers.py
-    get_enc_dec_models + hyperprior.py get_hyperprior/get_dualprior.
-    """
-    m = _Mapper(get_state_dict(state_dict))
 
-    m.rbws("enc.0", "enc", "down1")
-    m.dcb("enc.1", "enc", "block1", two=False, seq=True)
-    m.rbws("enc.2", "enc", "down2")
-    m.dcb("enc.3", "enc", "block2", two=False, seq=True)
-    m.rbws("enc.4", "enc", "down3")
-    m.dcb("enc.5", "enc", "block3", two=False, seq=True)
-    m.conv("enc.6", "enc", "down4")
-
+def _evc_tail(m: _Mapper):
+    """Everything in an EVC checkpoint except the encoder(s)."""
     m.dcb("dec.0", "dec", "block0", two=False, seq=True)
     m.rbu("dec.1", "dec", "up1")
     m.dcb("dec.2", "dec", "block1", two=False, seq=True)
@@ -234,6 +230,39 @@ def convert_evc(state_dict: dict) -> dict:
     m.param("q_basic", ("q_basic",))
     m.out["q_basic"] = m.out["q_basic"].transpose(0, 2, 3, 1)
     m.param("q_scale", ("q_scale",))
+
+
+def convert_evc(state_dict: dict) -> dict:
+    """EVC intra (any enc/dec size grid) torch state_dict -> flax params.
+
+    Reference: EVC/src/models/image_model.py:16-28 + layers.py
+    get_enc_dec_models + hyperprior.py get_hyperprior/get_dualprior.
+    """
+    m = _Mapper(get_state_dict(state_dict))
+    _evc_encoder(m, "enc", ("enc",))
+    _evc_tail(m)
+    return m.finish()
+
+
+def convert_evc_scalable(state_dict: dict, enc_num: int = 4) -> dict:
+    """Scale_EVC_* / plain-EVC checkpoints -> ScalableEVC flax params.
+
+    A trained scalable checkpoint carries encs.{i} encoder banks; a plain
+    EVC checkpoint's single encoder is replicated onto every bank (the
+    reference's shape-tolerant load_state_dict does the same remap,
+    EVC/src/models/scalable_encoder_model.py:45-69).
+    """
+    import copy
+
+    m = _Mapper(get_state_dict(state_dict))
+    if any(k.startswith("encs.0.") for k in m.sd):
+        for i in range(enc_num):
+            _evc_encoder(m, f"encs.{i}", (f"encs_{i}",))
+    else:
+        _evc_encoder(m, "enc", ("encs_0",))
+        for i in range(1, enc_num):
+            m.out[f"encs_{i}"] = copy.deepcopy(m.out["encs_0"])
+    _evc_tail(m)
     return m.finish()
 
 

@@ -638,3 +638,78 @@ def test_canf_dmc_full_forward_parity():
     ours_x2 = 3.0 * float(out["x2_mse"][0])
     assert abs(ref_x2 - ours_x2) / (abs(ref_x2) + 1e-6) < 0.05, \
         f"x2_mse rel diff {ref_x2} vs {ours_x2}"
+
+
+def test_evc_scalable_checkpoint_porting():
+    """Scale_EVC: native scalable checkpoints (encs.{i} banks) and plain
+    EVC checkpoints (single encoder replicated, the reference's remap in
+    scalable_encoder_model.py:45-69) both port; forward parity at a fixed
+    forward_enc_id."""
+    import jax
+
+    evc_path = "/root/reference/EVC"
+    if evc_path not in sys.path:
+        sys.path.insert(0, evc_path)
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    sys.path.remove("/root/reference/DCVC-DC")
+    try:
+        from src.models.scalable_encoder_model import ScalableEnc
+    finally:
+        sys.path.insert(0, "/root/reference/DCVC-DC")
+
+    _seed_all()
+    tm = ScalableEnc(forward_enc_id=1)
+    tm.eval()
+    from dcvc_tpu.models.evc_scalable import ScalableEVC
+
+    jm = ScalableEVC()
+    params_t = port_dc.convert_evc_scalable(tm.state_dict())
+    like = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.ones(()))
+    assert _tree_paths(like["params"]) == _tree_paths(params_t["params"])
+    params = {"params": jax_tree(params_t["params"])}
+
+    _seed_all()
+    x = torch.rand(1, 3, 64, 128)
+    with torch.no_grad():
+        ref = tm(x, q_scale=torch.ones(1))
+    out = jm.apply(params, jnp.asarray(_t2n(x).transpose(0, 2, 3, 1)),
+                   jnp.ones(()), 1)
+    ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
+    d_xhat = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
+    d_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0]))
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+    assert d_xhat < 3e-4, f"x_hat maxdiff {d_xhat}"
+    assert d_bpp < 2e-3, f"bpp diff {d_bpp}"
+
+    # plain-EVC checkpoint: single encoder replicated onto every bank
+    if "src" in sys.modules:
+        del sys.modules["src"]
+    sys.path.remove("/root/reference/DCVC-DC")
+    sys.path.insert(0, "/root/reference/EVC")
+    try:
+        from src.models.image_model import EVC as TorchEVC
+    finally:
+        sys.path.remove("/root/reference/EVC")
+        sys.path.insert(0, "/root/reference/DCVC-DC")
+    _seed_all()
+    te = TorchEVC()
+    # the plain model's decoder is the L grid only in evc_LL; build a
+    # scalable-compatible dict by reusing the scalable model's non-enc
+    # weights with the plain model's encoder
+    sd = tm.state_dict()
+    plain = {k: v for k, v in sd.items() if not k.startswith("encs.")}
+    enc0 = {k.replace("encs.1.", "enc."): v for k, v in sd.items()
+            if k.startswith("encs.1.")}
+    plain.update(enc0)
+    params_r = port_dc.convert_evc_scalable(plain)
+    assert _tree_paths(like["params"]) == _tree_paths(params_r["params"])
+    r = params_r["params"]
+    for i in (1, 2, 3):
+        a = np.asarray(r[f"encs_{i}"]["down1"]["conv1"]["kernel"])
+        b = np.asarray(r["encs_0"]["down1"]["conv1"]["kernel"])
+        np.testing.assert_array_equal(a, b)
