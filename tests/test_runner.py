@@ -134,3 +134,20 @@ def test_run_sequence_yuv420_metrics(tmp_path, intra_rt):
            + summary["ave_all_frame_psnr_u"]
            + summary["ave_all_frame_psnr_v"]) / 8
     assert abs(yuv - summary["ave_all_frame_psnr"]) < 1e-6
+
+
+def test_fine_q_table_log_interp():
+    """q_index -> q_scale: ckpt anchors when q_in_ckpt, 64-point
+    log-interpolated fine table otherwise (EVC interpolate_log)."""
+    from dcvc_tpu.runner.adapters import _QTable, fine_q_table
+
+    anchors = np.asarray([0.5, 1.0, 2.0, 4.0])
+    q = _QTable(anchors)
+    assert q(True, 0) == 0.5 and q(True, 3) == 4.0
+    fine = fine_q_table(anchors)
+    assert len(fine) == 64
+    assert abs(fine[0] - 0.5) < 1e-9 and abs(fine[-1] - 4.0) < 1e-9
+    # log-spaced: ratios constant
+    r = fine[1:] / fine[:-1]
+    np.testing.assert_allclose(r, r[0], rtol=1e-9)
+    assert abs(q(False, 0) - 0.5) < 1e-9 and abs(q(False, 63) - 4.0) < 1e-9
