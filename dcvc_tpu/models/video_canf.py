@@ -219,12 +219,16 @@ class CANFVCDmc(nn.Module):
         bpp_mv_z = jnp.sum(bits.z_bits(mv_z_hat, self.bit_estimator_z_mv),
                            axis=(1, 2, 3)) / pixel_num
         bpp = bpp_y + bpp_z + bpp_mv_y + bpp_mv_z
-        # x2_mse: ANF residual regularizer (train_CANFVC_DMC.py fork loss)
-        x2_mse = jnp.mean(x2 ** 2, axis=(1, 2, 3))
+        # x2_mse: ANF residual regularizer (train_CANFVC_DMC.py fork loss).
+        # sum-over-CHW / (H*W), the reference convention (video_model.py:
+        # 777-789) — 3x the all-axis mean — so the fork's loss weights
+        # compose the same way
+        x2_mse = jnp.sum(x2 ** 2, axis=(1, 2, 3)) / pixel_num
         return {
             "bpp": bpp, "bpp_y": bpp_y, "bpp_z": bpp_z,
             "bpp_mv_y": bpp_mv_y, "bpp_mv_z": bpp_mv_z,
-            "me_mse": jnp.mean((x - warp_frame) ** 2, axis=(1, 2, 3)),
+            "me_mse": jnp.sum((x - warp_frame) ** 2,
+                              axis=(1, 2, 3)) / pixel_num,
             "x2_mse": x2_mse,
             "bit": jnp.sum(bpp) * pixel_num,
             "dpb": {

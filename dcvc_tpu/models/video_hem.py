@@ -262,7 +262,9 @@ class DMCHem(nn.Module):
         bpp_mv_y = jnp.sum(bits_mv_y, axis=(1, 2, 3)) / pixel_num
         bpp_mv_z = jnp.sum(bits_mv_z, axis=(1, 2, 3)) / pixel_num
         bpp = bpp_y + bpp_z + bpp_mv_y + bpp_mv_z
-        me_mse = jnp.mean((x - warp_frame) ** 2, axis=(1, 2, 3))
+        # sum-over-CHW / (H*W): the reference convention (video_model.py:
+        # 463-465), 3x the all-axis mean
+        me_mse = jnp.sum((x - warp_frame) ** 2, axis=(1, 2, 3)) / pixel_num
         return {
             "bpp_mv_y": bpp_mv_y, "bpp_mv_z": bpp_mv_z,
             "bpp_y": bpp_y, "bpp_z": bpp_z, "bpp": bpp,

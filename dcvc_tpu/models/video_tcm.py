@@ -306,8 +306,9 @@ class DMCTcm(nn.Module):
         return {
             "bpp_mv_y": bpp_mv_y, "bpp_mv_z": bpp_mv_z,
             "bpp_y": bpp_y, "bpp_z": bpp_z, "bpp": bpp,
-            "me_mse": jnp.mean((x - warp_frame) ** 2),
-            "mse_loss": jnp.mean((x - recon) ** 2),
+            # sum-over-CHW / (H*W), the reference convention
+            "me_mse": jnp.sum((x - warp_frame) ** 2) / pixel_num,
+            "mse_loss": jnp.sum((x - recon) ** 2) / pixel_num,
             "recon_image": recon,
             "feature": feature,
             "bit": bpp * pixel_num,

@@ -27,29 +27,41 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.intra_dc import build_fine_q_tables as fine_q_table
 from ..ops.warp import get_padding_size
 from ..utils.stream import pack_strings, unpack_strings
 
 __all__ = ["adapt_i_runtime", "adapt_p_runtime", "fine_q_table"]
 
 
-def fine_q_table(anchors: np.ndarray, n: int = 64) -> np.ndarray:
-    """Log-interpolate the ckpt anchor q_scales to an n-point rate table."""
-    anchors = np.asarray(anchors, np.float64).reshape(-1)
-    return np.exp(np.linspace(np.log(anchors[0]), np.log(anchors[-1]), n))
-
-
 class _QTable:
-    def __init__(self, anchors):
-        self.anchors = np.asarray(anchors).reshape(-1)
-        self.fine = fine_q_table(self.anchors)
+    """q_index -> q_scale via ckpt anchors / 64-pt log-interp fine table.
+
+    Built LAZILY from a params getter so a later `adapter.params = ...`
+    (checkpoint load) invalidates the cached anchors."""
+
+    def __init__(self, get_anchors):
+        self._get = get_anchors
+        self._anchors = None
+
+    def invalidate(self):
+        self._anchors = None
+
+    @property
+    def anchors(self):
+        if self._anchors is None:
+            self._anchors = np.asarray(self._get()).reshape(-1)
+            self.fine = fine_q_table(self._anchors)
+        return self._anchors
 
     def __call__(self, q_in_ckpt: bool, q_index: int) -> float:
-        return float(self.anchors[q_index] if q_in_ckpt
-                     else self.fine[q_index])
+        anchors = self.anchors
+        return float(anchors[q_index] if q_in_ckpt else self.fine[q_index])
 
 
 class _Adapter:
+    _q_tables: tuple = ()
+
     def __init__(self, rt):
         self.rt = rt
 
@@ -63,6 +75,8 @@ class _Adapter:
     @params.setter
     def params(self, value):
         self.rt.params = value
+        for q in self._q_tables:
+            q.invalidate()
 
 
 class QScaleIntraAdapter(_Adapter):
@@ -70,7 +84,8 @@ class QScaleIntraAdapter(_Adapter):
 
     def __init__(self, rt):
         super().__init__(rt)
-        self._q = _QTable(np.asarray(rt.params["params"]["q_scale"]))
+        self._q = _QTable(lambda: self.rt.params["params"]["q_scale"])
+        self._q_tables = (self._q,)
 
     def forward(self, x, q_in_ckpt, q_index):
         return self.rt.forward(x, jnp.asarray(self._q(q_in_ckpt, q_index)))
@@ -114,9 +129,10 @@ class HemPFrameAdapter(_Adapter):
 
     def __init__(self, rt):
         super().__init__(rt)
-        p = rt.params["params"]
-        self._mv_q = _QTable(np.asarray(p["mv_y_q_scale"]))
-        self._y_q = _QTable(np.asarray(p["y_q_scale"]))
+        self._mv_q = _QTable(
+            lambda: self.rt.params["params"]["mv_y_q_scale"])
+        self._y_q = _QTable(lambda: self.rt.params["params"]["y_q_scale"])
+        self._q_tables = (self._mv_q, self._y_q)
 
     @staticmethod
     def _dpb(dpb):

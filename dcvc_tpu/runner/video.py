@@ -114,9 +114,15 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
         if cfg.yuv420_metrics or seq.src_type != "png":
             # metric contract is the 420 domain: per-plane PSNR/MS-SSIM on
             # (y, subsampled u, v), weighted (6,1,1)/8
-            # (DCVC-DC/test_video.py:169-186)
-            fy, fuv = color.ycbcr444_to_420(frame_np)
-            ry, ruv = color.ycbcr444_to_420(recon)
+            # (DCVC-DC/test_video.py:169-186). PNG sources are RGB and
+            # convert to YCbCr first (even-cropped for the 2x2 chroma mean).
+            f444, r444 = frame_np, recon
+            if seq.src_type == "png":
+                he, we = frame_np.shape[0] // 2 * 2, frame_np.shape[1] // 2 * 2
+                f444 = color.rgb_to_ycbcr(frame_np[:he, :we])
+                r444 = color.rgb_to_ycbcr(recon[:he, :we])
+            fy, fuv = color.ycbcr444_to_420(f444)
+            ry, ruv = color.ycbcr444_to_420(r444)
             psnrs = [metrics.calc_psnr(fy, ry, data_range=1),
                      metrics.calc_psnr(fuv[0], ruv[0], data_range=1),
                      metrics.calc_psnr(fuv[1], ruv[1], data_range=1)]
@@ -176,11 +182,11 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                 t1 = time.time()
                 h, w, q_in_ckpt, q_idx, stream = decode_i(bin_path)
                 dec = i_runtime.decompress(stream, h, w, q_in_ckpt, q_idx)
-                x_hat = dec["x_hat"]
+                x_hat = jnp.clip(dec["x_hat"], 0.0, 1.0)
             else:
                 out = i_runtime.forward(x, cfg.q_in_ckpt, q_index_i)
                 t1 = time.time()
-                x_hat = out["x_hat"]
+                x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
                 _finish_pending()
                 pending = (frame_idx, x_hat, out["bit"], frame, pad, t0, t1)
             dpb = {"ref_frame": x_hat, "ref_feature": None,
@@ -197,14 +203,17 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                 q_in_ckpt, q_idx, fi, stream = decode_p(bin_path)
                 dec = p_runtime.decompress(dpb, stream, seq.height, seq.width,
                                            q_in_ckpt, q_idx, fi)
-                dpb = dec["dpb"]
-                x_hat = dpb["ref_frame"]
+                dpb = dict(dec["dpb"])
+                # clamp like the reference (in-place clamp_ reaches its DPB)
+                x_hat = jnp.clip(dpb["ref_frame"], 0.0, 1.0)
+                dpb["ref_frame"] = x_hat
             else:
                 out = p_runtime.forward_one_frame(x, dpb, cfg.q_in_ckpt,
                                                   q_index_p, frame_idx)
                 t1 = time.time()
-                dpb = out["dpb"]
-                x_hat = dpb["ref_frame"]
+                dpb = dict(out["dpb"])
+                x_hat = jnp.clip(dpb["ref_frame"], 0.0, 1.0)
+                dpb["ref_frame"] = x_hat
                 _finish_pending()
                 pending = (frame_idx, x_hat, out["bit"], frame, pad, t0, t1)
         if cfg.write_stream:

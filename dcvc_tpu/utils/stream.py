@@ -94,11 +94,19 @@ def pack_strings(strings) -> bytes:
 
 
 def unpack_strings(payload: bytes) -> list:
+    if len(payload) < 1:
+        raise ValueError("empty substream container")
     n = struct.unpack(">B", payload[:1])[0]
     strings, off = [], 1
-    for _ in range(n):
+    for i in range(n):
+        if off + 4 > len(payload):
+            raise ValueError(f"corrupt substream container: truncated length "
+                             f"field for part {i}")
         length = struct.unpack(">I", payload[off:off + 4])[0]
         off += 4
+        if off + length > len(payload):
+            raise ValueError(f"corrupt substream container: part {i} wants "
+                             f"{length} bytes, {len(payload) - off} left")
         strings.append(payload[off:off + length])
         off += length
     return strings

@@ -142,7 +142,7 @@ def test_fine_q_table_log_interp():
     from dcvc_tpu.runner.adapters import _QTable, fine_q_table
 
     anchors = np.asarray([0.5, 1.0, 2.0, 4.0])
-    q = _QTable(anchors)
+    q = _QTable(lambda: anchors)
     assert q(True, 0) == 0.5 and q(True, 3) == 4.0
     fine = fine_q_table(anchors)
     assert len(fine) == 64

@@ -44,8 +44,6 @@ def main():
         dpb = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
                "ref_y": None, "ref_mv_y": None}
         if args.model == "dmc_dc":
-            qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec",
-                                            "y_enc", "y_dec")}
             step = lambda d: rt.forward_one_frame(x, d, False, 0, 1)["dpb"]
         elif args.model == "dmc_tcm":
             step = lambda d: {

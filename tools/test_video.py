@@ -50,6 +50,25 @@ def main():
     with open(args.test_config) as f:
         specs = load_dataset_config(json.load(f))
 
+    # pad-to-multiple contract: DC generation pads to 16, older gens to 64
+    # (reference test_video.py per-repo padding)
+    def _pad_for(model):
+        return 16 if model in ("intra_dc", "dmc_dc") else 64
+
+    pad_i = _pad_for(args.i_frame_model)
+    pad_multiple = (pad_i if args.force_intra
+                    else max(pad_i, _pad_for(args.p_frame_model)))
+    if args.write_stream and not args.force_intra \
+            and pad_i != _pad_for(args.p_frame_model):
+        # decompress derives latent shapes from each generation's OWN pad
+        # contract; frames padded for the other generation desync the rANS
+        # symbol counts. Estimated-bits mode is shape-agnostic and fine.
+        sys.exit(f"error: --write_stream needs I/P models from the same "
+                 f"padding generation ({args.i_frame_model} pads to "
+                 f"{pad_i}, {args.p_frame_model} to "
+                 f"{_pad_for(args.p_frame_model)}); pick a matching intra "
+                 f"(e.g. intra_hem / a zoo model) or use --force_intra")
+
     from dcvc_tpu.runner.adapters import adapt_i_runtime, adapt_p_runtime
 
     _, _, i_rt = build(args.i_frame_model)
@@ -82,15 +101,6 @@ def main():
         import numpy as np
 
         q_indexes = [int(v) for v in np.linspace(0, 63, args.rate_num)]
-
-    # pad-to-multiple contract: DC generation pads to 16, older gens to 64
-    # (reference test_video.py per-repo padding)
-    def _pad_for(model):
-        return 16 if model in ("intra_dc", "dmc_dc") else 64
-
-    pad_multiple = (_pad_for(args.i_frame_model) if args.force_intra else
-                    max(_pad_for(args.i_frame_model),
-                        _pad_for(args.p_frame_model)))
 
     results = {}
     t0 = time.time()
