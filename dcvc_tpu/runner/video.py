@@ -85,6 +85,7 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
     intra_period = cfg.intra_period if cfg.intra_period > 0 else frame_num
 
     frame_results = []
+    seq_t0 = time.time()
     is_i = []
     dpb = None
     pixel_num = seq.width * seq.height
@@ -230,7 +231,9 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
         recon_writer.close()
     from ..utils.results import summarize_sequence
 
-    summary = summarize_sequence(frame_results, is_i)
+    summary = summarize_sequence(frame_results, is_i,
+                                 verbose=cfg.verbose >= 2,
+                                 test_time=time.time() - seq_t0)
     summary["name"] = seq.name
     if cfg.verbose:
         print(f"{seq.name}: bpp={summary['ave_all_frame_bpp']:.4f} "
