@@ -249,10 +249,13 @@ def load_dataset_config(cfg_json: dict) -> list[SequenceSpec]:
         if not cls.get("test", 1):
             continue
         for seq_name, s in cls.get("sequences", {}).items():
+            src_type = cls.get("src_type", "png")
+            base = os.path.join(root, cls.get("base_path", ""), seq_name)
+            if src_type == "yuv420" and not base.endswith(".yuv"):
+                base += ".yuv"
             specs.append(SequenceSpec(
-                name=seq_name,
-                base_path=os.path.join(root, cls.get("base_path", ""), seq_name),
+                name=seq_name, base_path=base,
                 width=s["width"], height=s["height"],
                 frames=s["frames"], gop=s.get("gop", 32),
-                src_type=cls.get("src_type", "png")))
+                src_type=src_type))
     return specs
