@@ -113,10 +113,10 @@ def main():
                 bit = float(out["bit"])
                 t1 = time.time()
                 x_hat = out["x_hat"]
-            x_hat.block_until_ready()
-            t2 = time.time()
-
+            # host readback is the only reliable device sync on remote
+            # tunnels (block_until_ready can return early there)
             recon = np.asarray(x_hat[0])[:h, :w]
+            t2 = time.time()
             fr = {
                 "bpp": bit / (h * w),
                 "psnr": metrics.calc_psnr(img, recon, data_range=1),
