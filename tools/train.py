@@ -23,6 +23,10 @@ def main():
     p.add_argument("--crop", type=int, default=256)
     p.add_argument("--workdir", default="out/train")
     p.add_argument("--restore", default=None)
+    p.add_argument("--remat", choices=["auto", "0", "1"], default="auto",
+                   help="jax.checkpoint each frame apply. auto: on for TPU "
+                        "at crop >= 192 (the B=4 cascade at 256px exceeds a "
+                        "single 16GB v5e without it)")
     args = p.parse_args()
 
     import jax
@@ -57,9 +61,21 @@ def main():
         params = jax.jit(module.init)(jax.random.PRNGKey(0), x, dpb,
                                       jnp.ones(()), jnp.ones(()))
 
+    if args.remat == "auto":
+        use_remat = jax.default_backend() == "tpu" and args.crop >= 192
+    else:
+        use_remat = args.remat == "1"
+    schedule = None
+    if use_remat:
+        from dataclasses import replace
+
+        from dcvc_tpu.training.trainer import DEFAULT_SCHEDULE
+
+        schedule = [replace(st, remat=True) for st in DEFAULT_SCHEDULE]
+
     adapter = dmc_dc_adapter if args.model == "dmc_dc" else hem_adapter
     trainer = PFrameTrainer(module, params, workdir=args.workdir,
-                            apply_adapter=adapter)
+                            apply_adapter=adapter, schedule=schedule)
     if args.restore:
         trainer.restore(args.restore)
 
