@@ -144,6 +144,43 @@ def _flow_warp_packed(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def _packed_batched(im, flow):
+    if im.shape[0] == 1:
+        return _flow_warp_packed(im, flow)
+    # XLA:TPU's layout assignment SIGILLs on BATCHED multi-element-slice
+    # gathers (any B >= 2, any C — verified empirically on v5e), so batch
+    # elements go through the fast B=1 packed path under lax.map. The
+    # gather issue rate (~17ns/slice) is the bottleneck either way, so
+    # serializing the batch loses nothing.
+    return jax.lax.map(
+        lambda ab: _flow_warp_packed(ab[0][None], ab[1][None])[0],
+        (im, flow))
+
+
+@jax.custom_vjp
+def _warp_packed_naive_vjp(im, flow):
+    return _packed_batched(im, flow)
+
+
+def _wpnv_fwd(im, flow):
+    return _packed_batched(im, flow), (im, flow)
+
+
+def _wpnv_bwd(res, ct):
+    # The naive advanced-indexing formulation computes the SAME function
+    # (asserted interchangeable incl. borders in tests/test_warp_impls.py),
+    # so its VJP is an exact VJP for the packed forward — and its element
+    # scatters run ~17x faster than the packed gather's [1,2,2C]-slice
+    # transpose on v5e (measured 0.84s vs 14.1s for the 64-map
+    # OffsetDiversity backward at 256px; TPU scatter is ~3.2us per
+    # multi-element slice vs ~17ns per gather slice).
+    im, flow = res
+    return jax.vjp(_flow_warp_naive, im, flow)[1](ct)
+
+
+_warp_packed_naive_vjp.defvjp(_wpnv_fwd, _wpnv_bwd)
+
+
 def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp ``im`` [B,H,W,C] by ``flow`` [B,H,W,2] (fx, fy) pixels."""
     if _WARP_BARRIER:
@@ -153,18 +190,12 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         impl = "packed" if jax.default_backend() == "tpu" else "naive"
     if impl == "naive":
         out = _flow_warp_naive(im, flow)
-    elif im.shape[0] == 1:
-        out = (_flow_warp_rowpair if impl == "rowpair" else
-               _flow_warp_packed)(im, flow)
+    elif impl == "rowpair":
+        fn = _flow_warp_rowpair
+        out = (fn(im, flow) if im.shape[0] == 1 else jax.lax.map(
+            lambda ab: fn(ab[0][None], ab[1][None])[0], (im, flow)))
     else:
-        # XLA:TPU's layout assignment SIGILLs on BATCHED multi-element-slice
-        # gathers (any B >= 2, any C — verified empirically on v5e), so batch
-        # elements go through the fast B=1 rowpair path under lax.map. The
-        # gather issue rate (~17ns/slice) is the bottleneck either way, so
-        # serializing the batch loses nothing.
-        fn = _flow_warp_rowpair if impl == "rowpair" else _flow_warp_packed
-        out = jax.lax.map(
-            lambda ab: fn(ab[0][None], ab[1][None])[0], (im, flow))
+        out = _warp_packed_naive_vjp(im, flow)
     if _WARP_BARRIER:
         out = jax.lax.optimization_barrier(out)
     return out

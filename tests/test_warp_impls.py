@@ -132,3 +132,31 @@ class TestTileWarp:
         out = m.apply(params, x, aux, flow)
         assert out.shape == (1, 32, 64, 12)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_packed_custom_vjp_matches_naive_grad():
+    """flow_warp's packed path carries a custom VJP that differentiates the
+    naive formulation (same function, ~17x faster scatter lowering on TPU);
+    gradients must equal the naive formulation's exactly."""
+    from dcvc_tpu.ops import warp as W
+
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.random((2, 24, 32, 5)), jnp.float32)
+    flow = jnp.asarray((rng.random((2, 24, 32, 2)) - 0.5) * 6, jnp.float32)
+    ct_key = jnp.asarray(rng.random((2, 24, 32, 5)), jnp.float32)
+
+    def loss_custom(a, b):
+        return jnp.sum(W._warp_packed_naive_vjp(a, b) * ct_key)
+
+    def loss_naive(a, b):
+        return jnp.sum(W._flow_warp_naive(a, b) * ct_key)
+
+    gc = jax.grad(loss_custom, argnums=(0, 1))(im, flow)
+    gn = jax.grad(loss_naive, argnums=(0, 1))(im, flow)
+    for a, b in zip(gc, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # forward value also matches
+    np.testing.assert_allclose(
+        np.asarray(W._warp_packed_naive_vjp(im, flow)),
+        np.asarray(W._flow_warp_naive(im, flow)), atol=1e-5)
