@@ -639,6 +639,12 @@ def test_canf_dmc_full_forward_parity():
         f"x2_mse rel diff {ref_x2} vs {ours_x2}"
 
 
+def _purge_src_modules():
+    for mod in [m for m in list(sys.modules)
+                if m == "src" or m.startswith("src.")]:
+        del sys.modules[mod]
+
+
 def test_evc_scalable_checkpoint_porting():
     """Scale_EVC: native scalable checkpoints (encs.{i} banks) and plain
     EVC checkpoints (single encoder replicated, the reference's remap in
@@ -646,17 +652,17 @@ def test_evc_scalable_checkpoint_porting():
     forward_enc_id."""
     import jax
 
-    evc_path = "/root/reference/EVC"
-    if evc_path not in sys.path:
-        sys.path.insert(0, evc_path)
-    for mod in [m for m in list(sys.modules)
-                if m == "src" or m.startswith("src.")]:
-        del sys.modules[mod]
-    sys.path.remove("/root/reference/DCVC-DC")
+    # hermetic reference import: restore sys.path exactly and purge the
+    # shared `src` package name afterwards, or later parity tests import
+    # the wrong reference repo
+    saved_path = list(sys.path)
+    _purge_src_modules()
+    sys.path[:] = [p for p in sys.path if "reference" not in p]
+    sys.path.insert(0, "/root/reference/EVC")
     try:
         from src.models.scalable_encoder_model import ScalableEnc
     finally:
-        sys.path.insert(0, "/root/reference/DCVC-DC")
+        sys.path[:] = saved_path
 
     _seed_all()
     tm = ScalableEnc(forward_enc_id=1)
@@ -679,27 +685,13 @@ def test_evc_scalable_checkpoint_porting():
     ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
     d_xhat = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
     d_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0]))
-    for mod in [m for m in list(sys.modules)
-                if m == "src" or m.startswith("src.")]:
-        del sys.modules[mod]
+    _purge_src_modules()
     assert d_xhat < 3e-4, f"x_hat maxdiff {d_xhat}"
     assert d_bpp < 2e-3, f"bpp diff {d_bpp}"
 
-    # plain-EVC checkpoint: single encoder replicated onto every bank
-    if "src" in sys.modules:
-        del sys.modules["src"]
-    sys.path.remove("/root/reference/DCVC-DC")
-    sys.path.insert(0, "/root/reference/EVC")
-    try:
-        from src.models.image_model import EVC as TorchEVC
-    finally:
-        sys.path.remove("/root/reference/EVC")
-        sys.path.insert(0, "/root/reference/DCVC-DC")
-    _seed_all()
-    te = TorchEVC()
-    # the plain model's decoder is the L grid only in evc_LL; build a
-    # scalable-compatible dict by reusing the scalable model's non-enc
-    # weights with the plain model's encoder
+    # plain-EVC checkpoint: single encoder replicated onto every bank;
+    # build a scalable-compatible dict by reusing the scalable model's
+    # non-enc weights with one encoder renamed to the plain `enc.` prefix
     sd = tm.state_dict()
     plain = {k: v for k, v in sd.items() if not k.startswith("encs.")}
     enc0 = {k.replace("encs.1.", "enc."): v for k, v in sd.items()
