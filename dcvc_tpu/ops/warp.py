@@ -144,41 +144,39 @@ def _flow_warp_packed(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
-def _packed_batched(im, flow):
+def _map_batched(fn, im, flow):
+    """Apply a B=1 warp formulation per batch element under lax.map.
+
+    XLA:TPU's layout assignment SIGILLs on BATCHED multi-element-slice
+    gathers (any B >= 2, any C — verified empirically on v5e), so batch
+    elements go through the fast B=1 path serially. The gather issue rate
+    (~17ns/slice) is the bottleneck either way, so this loses nothing."""
     if im.shape[0] == 1:
-        return _flow_warp_packed(im, flow)
-    # XLA:TPU's layout assignment SIGILLs on BATCHED multi-element-slice
-    # gathers (any B >= 2, any C — verified empirically on v5e), so batch
-    # elements go through the fast B=1 packed path under lax.map. The
-    # gather issue rate (~17ns/slice) is the bottleneck either way, so
-    # serializing the batch loses nothing.
+        return fn(im, flow)
     return jax.lax.map(
-        lambda ab: _flow_warp_packed(ab[0][None], ab[1][None])[0],
-        (im, flow))
+        lambda ab: fn(ab[0][None], ab[1][None])[0], (im, flow))
 
 
-@jax.custom_vjp
-def _warp_packed_naive_vjp(im, flow):
-    return _packed_batched(im, flow)
+@jax.custom_jvp
+def _warp_packed_naive_grad(im, flow):
+    return _map_batched(_flow_warp_packed, im, flow)
 
 
-def _wpnv_fwd(im, flow):
-    return _packed_batched(im, flow), (im, flow)
-
-
-def _wpnv_bwd(res, ct):
+@_warp_packed_naive_grad.defjvp
+def _wpng_jvp(primals, tangents):
     # The naive advanced-indexing formulation computes the SAME function
     # (asserted interchangeable incl. borders in tests/test_warp_impls.py),
-    # so its VJP is an exact VJP for the packed forward — and its element
-    # scatters run ~17x faster than the packed gather's [1,2,2C]-slice
-    # transpose on v5e (measured 0.84s vs 14.1s for the 64-map
-    # OffsetDiversity backward at 256px; TPU scatter is ~3.2us per
-    # multi-element slice vs ~17ns per gather slice).
-    im, flow = res
-    return jax.vjp(_flow_warp_naive, im, flow)[1](ct)
-
-
-_warp_packed_naive_vjp.defvjp(_wpnv_fwd, _wpnv_bwd)
+    # so its linearization is exact for the packed forward. Routing
+    # differentiation through it matters because TPU scatter (the packed
+    # gather's transpose) costs ~3.2us per multi-element slice vs ~17ns per
+    # gather slice: the naive element-scatter VJP runs ~17x faster
+    # (measured 0.84s vs 14.1s for the 64-map OffsetDiversity backward at
+    # 256px; 32.5s -> 2.03s full train step). A custom_jvp (not custom_vjp)
+    # keeps forward-mode AD working too — reverse mode falls out of XLA
+    # transposing this (linear) tangent rule, i.e. the naive VJP.
+    out = _map_batched(_flow_warp_packed, *primals)
+    _, t_out = jax.jvp(_flow_warp_naive, primals, tangents)
+    return out, t_out
 
 
 def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -191,11 +189,9 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     if impl == "naive":
         out = _flow_warp_naive(im, flow)
     elif impl == "rowpair":
-        fn = _flow_warp_rowpair
-        out = (fn(im, flow) if im.shape[0] == 1 else jax.lax.map(
-            lambda ab: fn(ab[0][None], ab[1][None])[0], (im, flow)))
+        out = _map_batched(_flow_warp_rowpair, im, flow)
     else:
-        out = _warp_packed_naive_vjp(im, flow)
+        out = _warp_packed_naive_grad(im, flow)
     if _WARP_BARRIER:
         out = jax.lax.optimization_barrier(out)
     return out
@@ -293,12 +289,8 @@ def tile_warp(im: jnp.ndarray, flow: jnp.ndarray, tile: int = 16,
         im = jnp.pad(im, ((0, 0), (0, 0), (0, pad_w), (0, 0)), mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
                        mode="edge")
-    if B == 1:
-        out = _tile_warp1(im, flow, tile, residual)
-    else:
-        out = jax.lax.map(
-            lambda ab: _tile_warp1(ab[0][None], ab[1][None], tile,
-                                   residual)[0], (im, flow))
+    out = _map_batched(
+        lambda a, b: _tile_warp1(a, b, tile, residual), im, flow)
     return out[:, :, :W] if pad_w else out
 
 

@@ -251,7 +251,7 @@ def load_dataset_config(cfg_json: dict) -> list[SequenceSpec]:
         for seq_name, s in cls.get("sequences", {}).items():
             src_type = cls.get("src_type", "png")
             base = os.path.join(root, cls.get("base_path", ""), seq_name)
-            if src_type == "yuv420" and not base.endswith(".yuv"):
+            if src_type == "yuv420" and not base.lower().endswith(".yuv"):
                 base += ".yuv"
             specs.append(SequenceSpec(
                 name=seq_name, base_path=base,

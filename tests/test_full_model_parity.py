@@ -663,6 +663,17 @@ def test_evc_scalable_checkpoint_porting():
         from src.models.scalable_encoder_model import ScalableEnc
     finally:
         sys.path[:] = saved_path
+    try:
+        _body_evc_scalable(ScalableEnc)
+    finally:
+        # a mid-test failure must not leak EVC's `src` package into later
+        # parity tests that import the DCVC-DC reference
+        _purge_src_modules()
+
+
+def _body_evc_scalable(ScalableEnc):
+    import jax
+
 
     _seed_all()
     tm = ScalableEnc(forward_enc_id=1)
@@ -685,7 +696,6 @@ def test_evc_scalable_checkpoint_porting():
     ref_xhat = _t2n(ref["x_hat"]).transpose(0, 2, 3, 1)
     d_xhat = float(np.max(np.abs(np.asarray(out["x_hat"]) - ref_xhat)))
     d_bpp = abs(float(ref["bpp"]) - float(out["bpp"][0]))
-    _purge_src_modules()
     assert d_xhat < 3e-4, f"x_hat maxdiff {d_xhat}"
     assert d_bpp < 2e-3, f"bpp diff {d_bpp}"
 

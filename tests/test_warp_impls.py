@@ -134,10 +134,10 @@ class TestTileWarp:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_packed_custom_vjp_matches_naive_grad():
-    """flow_warp's packed path carries a custom VJP that differentiates the
-    naive formulation (same function, ~17x faster scatter lowering on TPU);
-    gradients must equal the naive formulation's exactly."""
+def test_packed_custom_grad_matches_naive():
+    """flow_warp's packed path differentiates through the naive formulation
+    (same function, ~17x faster scatter lowering on TPU); reverse- AND
+    forward-mode derivatives must equal the naive formulation's exactly."""
     from dcvc_tpu.ops import warp as W
 
     rng = np.random.default_rng(0)
@@ -146,7 +146,7 @@ def test_packed_custom_vjp_matches_naive_grad():
     ct_key = jnp.asarray(rng.random((2, 24, 32, 5)), jnp.float32)
 
     def loss_custom(a, b):
-        return jnp.sum(W._warp_packed_naive_vjp(a, b) * ct_key)
+        return jnp.sum(W._warp_packed_naive_grad(a, b) * ct_key)
 
     def loss_naive(a, b):
         return jnp.sum(W._flow_warp_naive(a, b) * ct_key)
@@ -156,7 +156,13 @@ def test_packed_custom_vjp_matches_naive_grad():
     for a, b in zip(gc, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
-    # forward value also matches
+    # forward value matches
     np.testing.assert_allclose(
-        np.asarray(W._warp_packed_naive_vjp(im, flow)),
+        np.asarray(W._warp_packed_naive_grad(im, flow)),
         np.asarray(W._flow_warp_naive(im, flow)), atol=1e-5)
+    # forward-mode (jvp) still works and matches naive
+    t = (jnp.ones_like(im), jnp.ones_like(flow) * 0.5)
+    _, jc = jax.jvp(W._warp_packed_naive_grad, (im, flow), t)
+    _, jn = jax.jvp(W._flow_warp_naive, (im, flow), t)
+    np.testing.assert_allclose(np.asarray(jc), np.asarray(jn),
+                               rtol=1e-6, atol=1e-6)

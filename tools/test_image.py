@@ -115,7 +115,7 @@ def main():
                 x_hat = out["x_hat"]
             # host readback is the only reliable device sync on remote
             # tunnels (block_until_ready can return early there)
-            recon = np.asarray(x_hat[0])[:h, :w]
+            recon = np.asarray(x_hat[0, :h, :w])
             t2 = time.time()
             fr = {
                 "bpp": bit / (h * w),
