@@ -166,3 +166,24 @@ def test_packed_custom_grad_matches_naive():
     _, jn = jax.jvp(W._flow_warp_naive, (im, flow), t)
     np.testing.assert_allclose(np.asarray(jc), np.asarray(jn),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_tile_warp_gradients_match_naive_within_bound():
+    """tile_warp gradients equal the exact warp's when offsets stay within
+    the residual bound (the grad flows through the fractional weights; the
+    integer base has zero grad in both formulations)."""
+    from dcvc_tpu.ops.warp import _flow_warp_naive, tile_warp
+
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.random((1, 32, 64, 3)), jnp.float32)
+    gy, gx = jnp.meshgrid(jnp.linspace(0, 6.28, 32),
+                          jnp.linspace(0, 6.28, 64), indexing="ij")
+    off = jnp.stack([1.0 * jnp.sin(gx), 1.0 * jnp.cos(gy)], -1)[None]
+    gt = jax.grad(lambda a, b: jnp.sum(tile_warp(a, b, 16, 2) ** 2),
+                  argnums=(0, 1))(im, off)
+    gn = jax.grad(lambda a, b: jnp.sum(_flow_warp_naive(a, b) ** 2),
+                  argnums=(0, 1))(im, off)
+    for a, b in zip(gt, gn):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        assert np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9) < 1e-4
