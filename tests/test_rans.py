@@ -149,3 +149,75 @@ def test_multiple_encode_calls_one_stream():
     for s, i in zip(chunks, idx_chunks):
         out = dec.decode_stream(i, cdfs, sizes, offsets)
         np.testing.assert_array_equal(s, out)
+
+
+class TestOldGenCompat:
+    """CompressAI-style list-based binding surface (ops/rans_compat.py):
+    the older repos' BufferedRansEncoder/RansDecoder API incl. TCM's
+    set_cdf fast paths round-trips python lists exactly."""
+
+    def _tables(self):
+        from dcvc_tpu.ops.rans import pmf_to_quantized_cdf
+
+        rng = np.random.default_rng(0)
+        cdfs, lengths, offsets = [], [], []
+        maxlen = 0
+        raw = []
+        for _ in range(4):
+            n = int(rng.integers(4, 12))
+            pmf = rng.random(n) + 0.05
+            cdf = pmf_to_quantized_cdf(pmf / pmf.sum(), 16)
+            raw.append(cdf)
+            maxlen = max(maxlen, len(cdf))
+            lengths.append(len(cdf))
+            offsets.append(-(n // 2))
+        for cdf in raw:
+            cdfs.append(list(cdf) + [0] * (maxlen - len(cdf)))
+        return cdfs, lengths, offsets
+
+    def test_buffered_roundtrip_lists(self):
+        from dcvc_tpu.ops.rans_compat import BufferedRansEncoder, RansDecoder
+
+        cdfs, lengths, offsets = self._tables()
+        rng = np.random.default_rng(1)
+        idx = [int(i) for i in rng.integers(0, 4, 257)]
+        sym = [int(rng.integers(0, lengths[i] - 2)) + offsets[i] for i in idx]
+
+        enc = BufferedRansEncoder()
+        enc.encode_with_indexes(sym, idx, cdfs, lengths, offsets)
+        stream = enc.flush()
+        assert isinstance(stream, bytes) and len(stream) > 0
+
+        dec = RansDecoder()
+        out = dec.decode_with_indexes(stream, idx, cdfs, lengths, offsets)
+        assert out == sym
+
+    def test_set_cdf_fast_paths(self):
+        from dcvc_tpu.ops.rans_compat import BufferedRansEncoder, RansDecoder
+
+        cdfs, lengths, offsets = self._tables()
+        rng = np.random.default_rng(2)
+        idx = [int(i) for i in rng.integers(0, 4, 129)]
+        sym = [int(rng.integers(0, lengths[i] - 2)) + offsets[i] for i in idx]
+
+        enc = BufferedRansEncoder()
+        enc.set_cdf(cdfs, lengths, offsets)
+        enc.encode_with_indexes(sym, idx)
+        stream = enc.flush()
+
+        dec = RansDecoder()
+        dec.set_cdf(cdfs, lengths, offsets)
+        dec.set_stream(stream)
+        assert dec.decode_stream_only_indexes(idx) == sym
+
+    def test_one_shot_encoder(self):
+        from dcvc_tpu.ops.rans_compat import RansDecoder, RansEncoder
+
+        cdfs, lengths, offsets = self._tables()
+        idx = [0, 1, 2, 3] * 8
+        sym = [offsets[i] for i in idx]
+        stream = RansEncoder().encode_with_indexes(sym, idx, cdfs, lengths,
+                                                   offsets)
+        out = RansDecoder().decode_with_indexes(stream, idx, cdfs, lengths,
+                                                offsets)
+        assert out == sym
