@@ -222,3 +222,29 @@ def convert_canf_dmc(state_dict: dict) -> dict:
     m.conv("DQ.conv3", "dq", "conv3")
     m.drop("feature_adaptor_P.")
     return m.finish()
+
+
+def canf_params_from_hem(hem_params: dict, canf_like: dict) -> dict:
+    """Cross-architecture training init: build CANFVC_DMC params from a
+    DMC (HEM) param tree by replicating the contextual encoder/decoder/
+    recon into BOTH ANF ladder layers — the fork's checkpoint surgery
+    (train_CANFVC_DMC.py:855-880). Everything else transfers by name; the
+    DQ post-filter (absent in HEM) keeps its fresh init from
+    ``canf_like``; HEM's feature_adaptor_P (absent in CANF) is dropped.
+    """
+    import copy
+
+    hem = hem_params["params"]
+    out = copy.deepcopy(canf_like["params"])
+    for k in list(out):
+        if k == "contextual_coder":
+            for i in (0, 1):
+                out[k][f"analysis_{i}"] = copy.deepcopy(
+                    hem["contextual_encoder"])
+                out[k][f"synthesis_dec_{i}"] = copy.deepcopy(
+                    hem["contextual_decoder"])
+                out[k][f"synthesis_recon_{i}"] = copy.deepcopy(
+                    hem["recon_generation_net"])
+        elif k != "dq" and k in hem:
+            out[k] = copy.deepcopy(hem[k])
+    return {"params": out}

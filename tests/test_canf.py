@@ -96,3 +96,41 @@ def test_canfvc_forward_chain():
         assert np.isfinite(float(out["bpp"][0]))
         assert np.isfinite(float(out["x2_mse"][0]))
     assert dpb["ref_frame"].shape == (1, 64, 64, 3)
+
+
+def test_canf_init_from_hem_surgery():
+    """The fork's cross-architecture init (train_CANFVC_DMC.py:855-880):
+    HEM contextual enc/dec/recon replicate into both ANF ladder layers,
+    the trunk transfers by name, DQ keeps its fresh init."""
+    import numpy as np
+
+    from dcvc_tpu.models.video_hem import DMCHem
+    from dcvc_tpu.utils.port_hem import canf_params_from_hem
+
+    kw = dict(channel_mv=16, channel_N=16, channel_M=24)
+    hem = DMCHem(**kw)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb_h = {"ref_frame": x, "ref_feature": None, "ref_y": None,
+             "ref_mv_y": None}
+    hp = hem.init(jax.random.PRNGKey(1), x, dpb_h, jnp.ones(()), jnp.ones(()))
+
+    canf = CANFVCDmc(**kw)
+    cp_like = canf.init(jax.random.PRNGKey(2), x, dpb_h, jnp.ones(()),
+                        jnp.ones(()))
+    cp = canf_params_from_hem(hp, cp_like)
+
+    cc = cp["params"]["contextual_coder"]
+    for i in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(cc[f"analysis_{i}"]["conv1"]["kernel"]),
+            np.asarray(hp["params"]["contextual_encoder"]["conv1"]["kernel"]))
+    # trunk transfers; DQ stays fresh
+    np.testing.assert_array_equal(
+        np.asarray(cp["params"]["mv_encoder"]["d1"]["conv1"]["kernel"]),
+        np.asarray(hp["params"]["mv_encoder"]["d1"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(cp["params"]["dq"]["conv1"]["kernel"]),
+        np.asarray(cp_like["params"]["dq"]["conv1"]["kernel"]))
+    # the surgered tree runs the full forward
+    out = canf.apply(cp, x, dpb_h, jnp.ones(()), jnp.ones(()))
+    assert np.isfinite(float(jnp.sum(out["bpp"])))
