@@ -136,7 +136,12 @@ class PFrameTrainer:
         return tx, step
 
     def fit(self, dataset, batch_size: int = 4, steps_per_epoch: int = 100,
-            log_every: int = 20, save_every_epoch: bool = True):
+            log_every: int = 20, save_every_epoch: bool = True,
+            val_dataset=None, val_steps: int = 8):
+        """``val_dataset`` adds a per-epoch no-update validation pass (the
+        fork validates each epoch against the first GOP of every test
+        sequence, train_CANFVC_DMC.py:241-320); val loss lands in
+        history[..]["val_loss"]."""
         global_step = 0
         for stage in self.schedule:
             tx, step = self._build_step(stage)
@@ -158,11 +163,63 @@ class PFrameTrainer:
                 rec = {"stage": stage.name, "epoch": epoch,
                        "loss": float(np.mean(losses)),
                        "time": time.time() - t0}
+                if val_dataset is not None:
+                    rec["val_loss"] = self.validate(
+                        val_dataset, stage, batch_size, val_steps)
                 self.history.append(rec)
                 if save_every_epoch:
                     self.save(os.path.join(
                         self.workdir, f"{stage.name}_ep{epoch}.npz"))
         return self.params
+
+    def validate(self, dataset, stage: Stage | None = None,
+                 batch_size: int = 4, steps: int = 8) -> float:
+        """Average cascaded RD loss over ``steps`` batches, no updates."""
+        stage = stage or self.schedule[0]
+        module, adapter = self.module, self.apply_adapter
+
+        @jax.jit
+        def val_loss(params, clip, lambdas):
+            x0 = clip[:, 0]
+            dpb = {"ref_frame": x0, "ref_feature": None,
+                   "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+            total = 0.0
+            for t in range(1, stage.cascade_frames + 1):
+                out = adapter(module, params, clip[:, t], dpb, lambdas, t)
+                total = total + rd_loss(clip[:, t], out["dpb"]["ref_frame"],
+                                        out["bpp"], lambdas)
+                dpb = dict(out["dpb"])
+            return total / stage.cascade_frames
+
+        losses = []
+        for i, clip in enumerate(dataset.batches(batch_size, steps)):
+            B = clip.shape[0]
+            lambdas = jnp.asarray(
+                np.asarray(TRAIN_LAMBDAS)[(np.arange(B) + i) % 4])
+            losses.append(float(val_loss(self.params, jnp.asarray(clip),
+                                         lambdas)))
+        return float(np.mean(losses))
+
+    def grad_norms(self, clip, lambdas=None) -> dict:
+        """Per-top-level-module gradient L2 norms — the TPU-side equivalent
+        of the fork's plot_grad_flow diagnostic (vision.py:263)."""
+        stage = self.schedule[0]
+        module, adapter = self.module, self.apply_adapter
+        if lambdas is None:
+            lambdas = jnp.asarray(
+                np.asarray(TRAIN_LAMBDAS)[np.arange(clip.shape[0]) % 4])
+
+        def loss_fn(params):
+            x0 = clip[:, 0]
+            dpb = {"ref_frame": x0, "ref_feature": None,
+                   "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+            out = adapter(module, params, clip[:, 1], dpb, lambdas, 1)
+            return rd_loss(clip[:, 1], out["dpb"]["ref_frame"], out["bpp"],
+                           lambdas)
+
+        grads = jax.grad(loss_fn)(self.params)
+        return {k: float(optax.global_norm(v))
+                for k, v in grads["params"].items()}
 
     def save(self, path: str):
         save_params(path, self.params)

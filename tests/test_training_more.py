@@ -126,3 +126,28 @@ def _make_hem_step(module, optimizer, remat):
         return params, opt_state, aux
 
     return train_step
+
+
+def test_trainer_validation_and_grad_norms(tmp_path):
+    from dcvc_tpu.training.data import SyntheticClips
+    from dcvc_tpu.training.trainer import PFrameTrainer, Stage, hem_adapter
+
+    module = DMCHem(channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_y": None,
+           "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x, dpb, jnp.ones(()),
+                         jnp.ones(()))
+    trainer = PFrameTrainer(
+        module, params, schedule=[Stage("s", 1, cascade_frames=1)],
+        workdir=str(tmp_path), apply_adapter=hem_adapter)
+    data = SyntheticClips(crop=64, frames=2)
+    trainer.fit(data, batch_size=1, steps_per_epoch=1,
+                save_every_epoch=False, val_dataset=data, val_steps=1)
+    assert "val_loss" in trainer.history[-1]
+    assert np.isfinite(trainer.history[-1]["val_loss"])
+
+    clip = next(iter(data.batches(1, 1)))
+    norms = trainer.grad_norms(jnp.asarray(clip))
+    assert norms and all(np.isfinite(v) for v in norms.values())
+    assert any(v > 0 for v in norms.values())
