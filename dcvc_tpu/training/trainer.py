@@ -36,6 +36,10 @@ class Stage:
     detach: bool = True
     trainable_prefixes: tuple = ()  # empty = train everything
     lr: float = 1e-4
+    # MultiStepLR-style decay (fork configure_optimizers, lr_gamma=0.5):
+    # lr multiplies by lr_gamma at each epoch milestone within the stage
+    lr_milestones: tuple = ()
+    lr_gamma: float = 0.5
     remat: bool = False  # jax.checkpoint each frame apply (memory vs FLOPs)
 
 
@@ -94,12 +98,19 @@ class PFrameTrainer:
         os.makedirs(workdir, exist_ok=True)
         self.history: list[dict] = []
 
-    def _build_step(self, stage: Stage):
+    def _build_step(self, stage: Stage, steps_per_epoch: int = 0):
         module = self.module
         mask = _freeze_mask(self.params, stage.trainable_prefixes)
+        if stage.lr_milestones and steps_per_epoch:
+            lr = optax.piecewise_constant_schedule(
+                stage.lr,
+                {int(m) * steps_per_epoch: stage.lr_gamma
+                 for m in stage.lr_milestones})
+        else:
+            lr = stage.lr
         tx = optax.chain(
             optax.clip(self.grad_clamp),
-            optax.masked(optax.adamw(stage.lr,
+            optax.masked(optax.adamw(lr,
                                      weight_decay=self.weight_decay), mask),
         )
 
@@ -144,7 +155,7 @@ class PFrameTrainer:
         history[..]["val_loss"]."""
         global_step = 0
         for stage in self.schedule:
-            tx, step = self._build_step(stage)
+            tx, step = self._build_step(stage, steps_per_epoch)
             opt_state = tx.init(self.params)
             for epoch in range(stage.epochs):
                 t0 = time.time()

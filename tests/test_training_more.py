@@ -151,3 +151,26 @@ def test_trainer_validation_and_grad_norms(tmp_path):
     norms = trainer.grad_norms(jnp.asarray(clip))
     assert norms and all(np.isfinite(v) for v in norms.values())
     assert any(v > 0 for v in norms.values())
+
+
+def test_stage_lr_milestones_decay():
+    """MultiStepLR-style per-stage decay (fork configure_optimizers)."""
+    import optax
+
+    from dcvc_tpu.training.trainer import PFrameTrainer, Stage, hem_adapter
+
+    module = DMCHem(channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_y": None,
+           "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x, dpb, jnp.ones(()),
+                         jnp.ones(()))
+    trainer = PFrameTrainer(
+        module, params,
+        schedule=[Stage("s", 1, lr=1e-3, lr_milestones=(1,), lr_gamma=0.1)],
+        workdir="/tmp/lrtest", apply_adapter=hem_adapter)
+    tx, _ = trainer._build_step(trainer.schedule[0], steps_per_epoch=5)
+    # the underlying schedule decays at step 5
+    sched = optax.piecewise_constant_schedule(1e-3, {5: 0.1})
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    assert abs(float(sched(5)) - 1e-4) < 1e-9
