@@ -150,6 +150,12 @@ class ReconGeneration(nn.Module):
 class DMC(nn.Module):
     anchor_num: int = 4
     warp_chunks: int = 1  # sequential warp chunks for HBM-tight configs
+    # OffsetDiversity knobs: group_num < 16 linearly cuts the dominant
+    # per-map gather cost (model-config change — NOT checkpoint-compatible
+    # with the reference's 16 groups); od_warp_mode None -> env
+    # DCVC_TPU_OD_WARP (see ops/warp.py:tile_warp)
+    od_group_num: int = 16
+    od_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -158,7 +164,9 @@ class DMC(nn.Module):
         self.channel_mv = ch_mv
         self.optic_flow = MESpynet(dtype=self.dtype)
         self.align = OffsetDiversity(in_channel=c1,
+                                     group_num=self.od_group_num,
                                      warp_chunks=self.warp_chunks,
+                                     warp_mode=self.od_warp_mode,
                                      dtype=self.dtype)
 
         self.mv_encoder = MvEnc(ch_mv, dtype=self.dtype)
