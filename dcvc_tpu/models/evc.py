@@ -162,16 +162,20 @@ class EVCIntra(nn.Module):
 
     def __call__(self, x, q_scale, quant_mode: str = "round"):
         """Differentiable forward (write_stream=0 path): x_hat + bit costs."""
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         curr_q = self.get_curr_q(q_scale)
         y = self.enc(x) / curr_q
         z = self.hyper_enc(y)
         z_hat = quant(z)
         q_step, scales, means = self.prior_params(z_hat)
-        _, y_q, y_hat, scales_hat = priors.forward_dual_prior(
+        y_res, y_q, y_hat, scales_hat = priors.forward_dual_prior(
             y, means, scales, q_step, self.spatial_prior_chunks, quant=quant)
         x_hat = self.dec(y_hat * curr_q)
 
+        if quant_mode == "noise":
+            # training rate surrogate (HEM common_model.py:47-50)
+            y_q = priors.quant_noise(y_res, self.make_rng("noise"))
+            z_hat = priors.quant_noise(z, self.make_rng("noise"))
         bits_y = bits.y_gaussian_bits(y_q, jnp.clip(scales_hat, 0.11, 1e10))
         bits_z = bits.z_bits(z_hat, self.bit_estimator_z)
         pixel_num = x.shape[1] * x.shape[2]

@@ -70,7 +70,13 @@ class FactorizedPrior(nn.Module):
         self.entropy_bottleneck = EntropyBottleneck(self.M)
 
     def __call__(self, x, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        # CompressAI training convention: "noise" perturbs BOTH the recon and
+        # rate paths (entropy_models.py quantize(..., "noise")), unlike the
+        # DMC generations' STE-recon + noise-rate split.
+        if quant_mode == "noise":
+            quant = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+        else:
+            quant = priors.resolve_quant(quant_mode)
         y = self.g_a(x)
         y_hat, y_lik = self.entropy_bottleneck(y, quant)
         x_hat = self.g_s(y_hat)
@@ -135,7 +141,13 @@ class ScaleHyperprior(_HyperBase):
         return jax.nn.relu(self.h_s_deconvs[2](f))
 
     def __call__(self, x, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        # CompressAI training convention: "noise" perturbs BOTH the recon and
+        # rate paths (entropy_models.py quantize(..., "noise")), unlike the
+        # DMC generations' STE-recon + noise-rate split.
+        if quant_mode == "noise":
+            quant = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+        else:
+            quant = priors.resolve_quant(quant_mode)
         y = self.g_a(x)
         z = self.h_a(y)
         z_hat, z_lik = self.entropy_bottleneck(z, quant)
@@ -182,7 +194,13 @@ class MeanScaleHyperprior(ScaleHyperprior):
         return self.h_s_deconvs[2](f)
 
     def __call__(self, x, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        # CompressAI training convention: "noise" perturbs BOTH the recon and
+        # rate paths (entropy_models.py quantize(..., "noise")), unlike the
+        # DMC generations' STE-recon + noise-rate split.
+        if quant_mode == "noise":
+            quant = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+        else:
+            quant = priors.resolve_quant(quant_mode)
         y = self.g_a(x)
         z = self.h_a(y)
         z_hat, z_lik = self.entropy_bottleneck(z, quant)
@@ -219,7 +237,13 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         self.entropy_parameters = EntropyParams1x1(M, dtype=self.dtype)
 
     def __call__(self, x, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        # CompressAI training convention: "noise" perturbs BOTH the recon and
+        # rate paths (entropy_models.py quantize(..., "noise")), unlike the
+        # DMC generations' STE-recon + noise-rate split.
+        if quant_mode == "noise":
+            quant = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+        else:
+            quant = priors.resolve_quant(quant_mode)
         y = self.g_a(x)
         z = self.h_a(y)
         z_hat, z_lik = self.entropy_bottleneck(z, quant)

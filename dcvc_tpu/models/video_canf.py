@@ -171,7 +171,7 @@ class CANFVCDmc(nn.Module):
             jnp.concatenate([t, hier, ref_y], axis=-1)))
 
     def __call__(self, x, dpb, mv_y_q_scale, y_q_scale, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         curr_mv_q = lower_bound(self.mv_y_q_basic, 0.5) * mv_y_q_scale
         curr_y_q = lower_bound(self.y_q_basic, 0.5) * y_q_scale
 
@@ -180,7 +180,7 @@ class CANFVCDmc(nn.Module):
         mv_z = self.mv_hyper_prior_encoder(mv_y)
         mv_z_hat = quant(mv_z)
         mv_qsm = self.mv_prior(mv_z_hat, dpb["ref_mv_y"], mv_y.shape)
-        _, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_dual_prior(
+        mv_y_res, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_dual_prior(
             mv_y, mv_qsm[2], mv_qsm[1], mv_qsm[0], self.mv_spatial_chunks,
             quant=quant)
         mv_y_hat = mv_y_hat * curr_mv_q
@@ -194,7 +194,7 @@ class CANFVCDmc(nn.Module):
         z = self.contextual_hyper_prior_encoder(y)
         z_hat = quant(z)
         qsm = self.y_prior(z_hat, dpb["ref_y"], c3, y.shape)
-        _, y_q, y_hat, scales_hat = priors.forward_dual_prior(
+        y_res, y_q, y_hat, scales_hat = priors.forward_dual_prior(
             y, qsm[2], qsm[1], qsm[0], self.y_spatial_chunks, quant=quant)
         y_hat = y_hat * curr_y_q
 
@@ -203,6 +203,12 @@ class CANFVCDmc(nn.Module):
 
         x2 = self.contextual_coder.last_residual(x2, contexts, y_hat)
         pixel_num = x.shape[1] * x.shape[2]
+        if quant_mode == "noise":
+            # training rate surrogate: bits from noise-quantized residuals
+            # while the recon path stays STE (HEM video_model.py:466-471)
+            noise = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+            y_q, mv_y_q = noise(y_res), noise(mv_y_res)
+            z_hat, mv_z_hat = noise(z), noise(mv_z)
         return self._collect(x, x2, warp_frame, y_q, scales_hat, mv_y_q,
                              mv_scales_hat, z_hat, mv_z_hat, x_hat, y_hat,
                              mv_y_hat, pixel_num)

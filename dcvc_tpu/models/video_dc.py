@@ -337,7 +337,7 @@ class DMC(nn.Module):
                  quant_mode: str = "round"):
         """forward_one_frame (video_model.py:559-628). q_scales is a dict of
         scalars: mv_y_q_enc/dec, y_q_enc/dec."""
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         mv_y_q_enc = self.mv_y_q_basic_enc * q_scales["mv_enc"]
         mv_y_q_dec = self.mv_y_q_basic_dec * q_scales["mv_dec"]
         y_q_enc = self.y_q_basic_enc * q_scales["y_enc"]
@@ -347,7 +347,7 @@ class DMC(nn.Module):
         mv_z_hat = quant(mv_z)
         mv_params = self.mv_prior_param_decoder(mv_z_hat, dpb["ref_mv_y"],
                                                 slice_shape)
-        _, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_four_part_prior(
+        mv_y_res, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_four_part_prior(
             mv_y, mv_params, self.spatial_prior_fns("mv"), quant=quant)
         mv_hat, mv_feature = self.mv_decoder(mv_y_hat, mv_y_q_dec)
         context1, context2, context3, _ = self.motion_compensation(
@@ -359,16 +359,25 @@ class DMC(nn.Module):
         z_hat = quant(z)
         params = self.res_prior_param_decoder(z_hat, dpb["ref_y"], context3,
                                               slice_shape)
-        _, y_q, y_hat, scales_hat = priors.forward_four_part_prior(
+        y_res, y_q, y_hat, scales_hat = priors.forward_four_part_prior(
             y, params, self.spatial_prior_fns("y"), quant=quant)
         x_hat, feature = self.get_recon_and_feature(
             y_hat, context1, context2, context3, y_q_dec)
 
         pixel_num = x.shape[1] * x.shape[2]
-        bits_y = bits.y_laplace_bits(y_q, scales_hat)
-        bits_mv_y = bits.y_laplace_bits(mv_y_q, mv_scales_hat)
-        bits_z = bits.z_bits(z_hat, self.bit_estimator_z)
-        bits_mv_z = bits.z_bits(mv_z_hat, self.bit_estimator_z_mv)
+        if quant_mode == "noise":
+            # training rate surrogate: bits from noise-quantized residuals
+            # while the recon path stays STE (HEM video_model.py:466-471)
+            noise = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+            y_for_bit, mv_y_for_bit = noise(y_res), noise(mv_y_res)
+            z_for_bit, mv_z_for_bit = noise(z), noise(mv_z)
+        else:
+            y_for_bit, mv_y_for_bit = y_q, mv_y_q
+            z_for_bit, mv_z_for_bit = z_hat, mv_z_hat
+        bits_y = bits.y_laplace_bits(y_for_bit, scales_hat)
+        bits_mv_y = bits.y_laplace_bits(mv_y_for_bit, mv_scales_hat)
+        bits_z = bits.z_bits(z_for_bit, self.bit_estimator_z)
+        bits_mv_z = bits.z_bits(mv_z_for_bit, self.bit_estimator_z_mv)
         bpp_y = jnp.sum(bits_y, axis=(1, 2, 3)) / pixel_num
         bpp_z = jnp.sum(bits_z, axis=(1, 2, 3)) / pixel_num
         bpp_mv_y = jnp.sum(bits_mv_y, axis=(1, 2, 3)) / pixel_num

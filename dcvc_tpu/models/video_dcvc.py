@@ -244,7 +244,7 @@ class DCVCNet(nn.Module):
     # ---- full paths ----
 
     def __call__(self, referframe, input_image, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         est_mv = self.optic_flow(input_image, referframe)
         mv_feature = self.mv_encoder(est_mv)
         mv_z = self.mv_prior_encoder(mv_feature)
@@ -277,10 +277,20 @@ class DCVCNet(nn.Module):
         recon = self.contextual_decoder_part2(feat, context)
 
         pixel_num = input_image.shape[0] * input_image.shape[1] * input_image.shape[2]
-        bits_y = bits.y_laplace_bits(y_hat - means, scales)
-        bits_mv = bits.y_laplace_bits(quant_mv - means_mv, scales_mv)
-        bits_z = bits.z_bits(z_hat, self.bit_estimator_z)
-        bits_mv_z = bits.z_bits(mv_z_hat, self.bit_estimator_z_mv)
+        if quant_mode == "noise":
+            # training rate surrogate: bits from noise-quantized residuals
+            # while the recon path stays STE (HEM video_model.py:466-471)
+            noise = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+            y_for_bit = noise(y - means)
+            mv_for_bit = noise(mv_feature - means_mv)
+            z_for_bit, mv_z_for_bit = noise(z), noise(mv_z)
+        else:
+            y_for_bit, mv_for_bit = y_hat - means, quant_mv - means_mv
+            z_for_bit, mv_z_for_bit = z_hat, mv_z_hat
+        bits_y = bits.y_laplace_bits(y_for_bit, scales)
+        bits_mv = bits.y_laplace_bits(mv_for_bit, scales_mv)
+        bits_z = bits.z_bits(z_for_bit, self.bit_estimator_z)
+        bits_mv_z = bits.z_bits(mv_z_for_bit, self.bit_estimator_z_mv)
         bpp_y = jnp.sum(bits_y) / pixel_num
         bpp_z = jnp.sum(bits_z) / pixel_num
         bpp_mv_y = jnp.sum(bits_mv) / pixel_num

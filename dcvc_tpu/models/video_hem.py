@@ -220,7 +220,7 @@ class DMCHem(nn.Module):
     # ---- full paths ----
 
     def __call__(self, x, dpb, mv_y_q_scale, y_q_scale, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         curr_mv_y_q = self.get_curr_mv_y_q(mv_y_q_scale)
         curr_y_q = self.get_curr_y_q(y_q_scale)
 
@@ -230,7 +230,7 @@ class DMCHem(nn.Module):
         mv_z_hat = quant(mv_z)
         mv_q_step, mv_scales, mv_means = self.mv_prior(
             mv_z_hat, dpb["ref_mv_y"], mv_y.shape)
-        _, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_dual_prior(
+        mv_y_res, mv_y_q, mv_y_hat, mv_scales_hat = priors.forward_dual_prior(
             mv_y, mv_means, mv_scales, mv_q_step, self.mv_spatial_chunks,
             quant=quant)
         mv_y_hat = mv_y_hat * curr_mv_y_q
@@ -244,7 +244,7 @@ class DMCHem(nn.Module):
         z_hat = quant(z)
         q_step, scales, means = self.y_prior(z_hat, dpb["ref_y"], context3,
                                              y.shape)
-        _, y_q, y_hat, scales_hat = priors.forward_dual_prior(
+        y_res, y_q, y_hat, scales_hat = priors.forward_dual_prior(
             y, means, scales, q_step, self.y_spatial_chunks, quant=quant)
         y_hat = y_hat * curr_y_q
 
@@ -253,10 +253,19 @@ class DMCHem(nn.Module):
         x_hat = jnp.clip(recon, 0.0, 1.0)
 
         pixel_num = x.shape[1] * x.shape[2]
-        bits_y = bits.y_laplace_bits(y_q, scales_hat)
-        bits_mv_y = bits.y_laplace_bits(mv_y_q, mv_scales_hat)
-        bits_z = bits.z_bits(z_hat, self.bit_estimator_z)
-        bits_mv_z = bits.z_bits(mv_z_hat, self.bit_estimator_z_mv)
+        if quant_mode == "noise":
+            # training rate surrogate: bits from noise-quantized residuals
+            # while the recon path stays STE (video_model.py:466-471)
+            noise = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+            y_for_bit, mv_y_for_bit = noise(y_res), noise(mv_y_res)
+            z_for_bit, mv_z_for_bit = noise(z), noise(mv_z)
+        else:
+            y_for_bit, mv_y_for_bit = y_q, mv_y_q
+            z_for_bit, mv_z_for_bit = z_hat, mv_z_hat
+        bits_y = bits.y_laplace_bits(y_for_bit, scales_hat)
+        bits_mv_y = bits.y_laplace_bits(mv_y_for_bit, mv_scales_hat)
+        bits_z = bits.z_bits(z_for_bit, self.bit_estimator_z)
+        bits_mv_z = bits.z_bits(mv_z_for_bit, self.bit_estimator_z_mv)
         bpp_y = jnp.sum(bits_y, axis=(1, 2, 3)) / pixel_num
         bpp_z = jnp.sum(bits_z, axis=(1, 2, 3)) / pixel_num
         bpp_mv_y = jnp.sum(bits_mv_y, axis=(1, 2, 3)) / pixel_num

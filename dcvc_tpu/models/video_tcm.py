@@ -268,7 +268,7 @@ class DMCTcm(nn.Module):
         return scales, means
 
     def __call__(self, x, ref_frame, ref_feature, quant_mode: str = "round"):
-        quant = priors.quant_ste if quant_mode == "ste" else priors.quant_round
+        quant = priors.resolve_quant(quant_mode)
         est_mv = self.optic_flow(x, ref_frame)
         mv_y = self.mv_encoder(est_mv)
         mv_z = self.mv_prior_encoder(mv_y)
@@ -294,10 +294,19 @@ class DMCTcm(nn.Module):
         recon = jnp.clip(recon, 0.0, 1.0)
 
         pixel_num = x.shape[0] * x.shape[1] * x.shape[2]
-        bits_y = bits.y_laplace_bits(y_q, scales)
-        bits_mv_y = bits.y_laplace_bits(mv_y_q, mv_scales)
-        bits_z = bits.z_bits(z_hat, self.bit_estimator_z)
-        bits_mv_z = bits.z_bits(mv_z_hat, self.bit_estimator_z_mv)
+        if quant_mode == "noise":
+            # training rate surrogate: bits from noise-quantized residuals
+            # while the recon path stays STE (HEM video_model.py:466-471)
+            noise = lambda t: priors.quant_noise(t, self.make_rng("noise"))
+            y_for_bit, mv_y_for_bit = noise(y - means), noise(mv_y - mv_means)
+            z_for_bit, mv_z_for_bit = noise(z), noise(mv_z)
+        else:
+            y_for_bit, mv_y_for_bit = y_q, mv_y_q
+            z_for_bit, mv_z_for_bit = z_hat, mv_z_hat
+        bits_y = bits.y_laplace_bits(y_for_bit, scales)
+        bits_mv_y = bits.y_laplace_bits(mv_y_for_bit, mv_scales)
+        bits_z = bits.z_bits(z_for_bit, self.bit_estimator_z)
+        bits_mv_z = bits.z_bits(mv_z_for_bit, self.bit_estimator_z_mv)
         bpp_y = jnp.sum(bits_y) / pixel_num
         bpp_z = jnp.sum(bits_z) / pixel_num
         bpp_mv_y = jnp.sum(bits_mv_y) / pixel_num

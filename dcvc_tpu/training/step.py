@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops.ms_ssim import ms_ssim_distortion
+
 # lambda per q_level (train_CANFVC_DMC.py:184-186)
 TRAIN_LAMBDAS = (85.0, 170.0, 380.0, 840.0)
 
@@ -30,31 +32,44 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     )
 
 
-def rd_loss(x, x_hat, bpp, lambdas):
+def rd_loss(x, x_hat, bpp, lambdas, distortion: str = "mse"):
     """Per-sample lambda * distortion + bpp with x in [0,1].
 
-    Distortion follows the reference convention sum-over-CHW / (H*W)
-    (HEM video_model.py:464 `torch.sum(mse, dim=(1,2,3)) / pixel_num`,
+    ``distortion="mse"`` follows the reference convention sum-over-CHW /
+    (H*W) (HEM video_model.py:464 `torch.sum(mse, dim=(1,2,3)) / pixel_num`,
     i.e. 3x the all-axis mean) so the fork's lambda values {85..840}
-    produce the same RD trade-off here."""
-    pixel_num = x.shape[1] * x.shape[2]
-    mse = jnp.sum((x - x_hat) ** 2, axis=(1, 2, 3)) / pixel_num
-    return jnp.mean(lambdas * mse + bpp)
+    produce the same RD trade-off here. ``distortion="ssim"`` is the fork's
+    --ssim criterion, (1 - MS-SSIM)/64 (train_CANFVC_DMC.py:74,199-200)."""
+    if distortion == "ssim":
+        d = ms_ssim_distortion(x, x_hat)
+    else:
+        pixel_num = x.shape[1] * x.shape[2]
+        d = jnp.sum((x - x_hat) ** 2, axis=(1, 2, 3)) / pixel_num
+    return jnp.mean(lambdas * d + bpp)
 
 
-def make_intra_train_step(module, optimizer):
-    """Single-image RD training step for intra codecs (EVC / IntraNoAR)."""
+def make_intra_train_step(module, optimizer, quant_mode: str = "ste",
+                          distortion: str = "mse"):
+    """Single-image RD training step for intra codecs (EVC / IntraNoAR).
 
-    def loss_fn(params, x, q_scales, lambdas):
-        out = module.apply(params, x, q_scales, q_scales, "ste") \
+    ``quant_mode="noise"`` enables the training rate surrogate (bits from
+    noise-quantized residuals, HEM common_model.py:47-50); the step then
+    takes an extra PRNG ``key`` argument.
+    """
+
+    def loss_fn(params, x, q_scales, lambdas, rngs):
+        out = module.apply(params, x, q_scales, q_scales, quant_mode,
+                           rngs=rngs) \
             if _takes_two_q(module) else \
-            module.apply(params, x, q_scales, quant_mode="ste")
-        loss = rd_loss(x, out["x_hat"], out["bpp"], lambdas)
+            module.apply(params, x, q_scales, quant_mode=quant_mode,
+                         rngs=rngs)
+        loss = rd_loss(x, out["x_hat"], out["bpp"], lambdas, distortion)
         return loss, {"bpp": jnp.mean(out["bpp"]), "loss": loss}
 
-    def train_step(params, opt_state, x, q_scales, lambdas):
+    def train_step(params, opt_state, x, q_scales, lambdas, key=None):
+        rngs = {"noise": key} if quant_mode == "noise" else None
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, q_scales, lambdas)
+            params, x, q_scales, lambdas, rngs)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux
@@ -68,16 +83,21 @@ def _takes_two_q(module) -> bool:
 
 def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
                         detach_between_frames: bool = True,
-                        remat: bool = False):
+                        remat: bool = False, quant_mode: str = "ste",
+                        distortion: str = "mse"):
     """Cascaded P-frame training step over a [B, T, H, W, C] clip.
 
     Frame 0 is the (already reconstructed) reference; frames 1..T-1 are coded
     sequentially with the DPB threaded through; the loss sums per-frame RD.
     With ``detach_between_frames`` the recurrent state is stop-gradiented
     frame to frame (the fork's pre-fullgop stages, :190-191).
+    ``quant_mode="noise"`` enables the fork's training rate surrogate (bits
+    from noise-quantized residuals while the recon path stays STE, HEM
+    video_model.py:466-471); the step then takes an extra PRNG ``key``.
+    ``distortion="ssim"`` trains on (1 - MS-SSIM)/64 (train_CANFVC_DMC.py:74).
     """
 
-    def loss_fn(params, clip, q_scales, lambdas):
+    def loss_fn(params, clip, q_scales, lambdas, key):
         x0 = clip[:, 0]
         dpb = {"ref_frame": x0, "ref_feature": None,
                "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
@@ -90,9 +110,13 @@ def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
             apply = jax.checkpoint(module.apply, static_argnums=(4, 5))
         for t in range(1, cascade_frames + 1):
             x = clip[:, t]
-            out = apply(params, x, dpb, q_scales, t, "ste")
+            if quant_mode == "noise":
+                out = apply(params, x, dpb, q_scales, t, quant_mode,
+                            rngs={"noise": jax.random.fold_in(key, t)})
+            else:
+                out = apply(params, x, dpb, q_scales, t, quant_mode)
             total = total + rd_loss(x, out["dpb"]["ref_frame"], out["bpp"],
-                                    lambdas)
+                                    lambdas, distortion)
             bpps.append(jnp.mean(out["bpp"]))
             dpb = out["dpb"]
             if detach_between_frames:
@@ -100,9 +124,11 @@ def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
         loss = total / cascade_frames
         return loss, {"bpp": jnp.mean(jnp.stack(bpps)), "loss": loss}
 
-    def train_step(params, opt_state, clip, q_scales, lambdas):
+    def train_step(params, opt_state, clip, q_scales, lambdas, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, clip, q_scales, lambdas)
+            params, clip, q_scales, lambdas, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux

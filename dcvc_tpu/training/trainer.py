@@ -67,19 +67,21 @@ def _freeze_mask(params, prefixes):
     return jax.tree_util.tree_unflatten(treedef, paths)
 
 
-def dmc_dc_adapter(module, params, x, dpb, lambdas, t):
+def dmc_dc_adapter(module, params, x, dpb, lambdas, t,
+                   quant_mode="ste", rngs=None):
     """Apply adapter for the DC-generation DMC signature."""
     B = x.shape[0]
     qs = {k: jnp.ones((B, 1, 1, 1)) for k in ("mv_enc", "mv_dec",
                                               "y_enc", "y_dec")}
-    return module.apply(params, x, dpb, qs, t, "ste")
+    return module.apply(params, x, dpb, qs, t, quant_mode, rngs=rngs)
 
 
-def hem_adapter(module, params, x, dpb, lambdas, t):
+def hem_adapter(module, params, x, dpb, lambdas, t,
+                quant_mode="ste", rngs=None):
     """Apply adapter for DMCHem / CANFVCDmc (scalar mv/y q_scales)."""
     B = x.shape[0]
     q = jnp.ones((B, 1, 1, 1))
-    return module.apply(params, x, dpb, q, q, "ste")
+    return module.apply(params, x, dpb, q, q, quant_mode, rngs=rngs)
 
 
 class PFrameTrainer:
@@ -87,7 +89,12 @@ class PFrameTrainer:
 
     def __init__(self, module, params, schedule=None, grad_clamp: float = 5.0,
                  weight_decay: float = 1e-2, workdir: str = "out/train",
-                 apply_adapter=None):
+                 apply_adapter=None, distortion: str = "mse",
+                 quant_mode: str = "ste", seed: int = 0):
+        """``distortion="ssim"`` trains on (1-MS-SSIM)/64 (the fork's --ssim,
+        train_CANFVC_DMC.py:74,199-200); ``quant_mode="noise"`` enables the
+        fork's rate surrogate (bits from noise-quantized residuals, HEM
+        video_model.py:466-471)."""
         self.module = module
         self.params = params
         self.schedule = schedule or DEFAULT_SCHEDULE
@@ -95,8 +102,12 @@ class PFrameTrainer:
         self.weight_decay = weight_decay
         self.workdir = workdir
         self.apply_adapter = apply_adapter or dmc_dc_adapter
+        self.distortion = distortion
+        self.quant_mode = quant_mode
+        self.rng = jax.random.PRNGKey(seed)
         os.makedirs(workdir, exist_ok=True)
         self.history: list[dict] = []
+        self.best_val_loss: float | None = None
 
     def _build_step(self, stage: Stage, steps_per_epoch: int = 0):
         module = self.module
@@ -115,32 +126,40 @@ class PFrameTrainer:
         )
 
         apply_adapter = self.apply_adapter
+        quant_mode, distortion = self.quant_mode, self.distortion
         if stage.remat:
             inner = apply_adapter
 
-            def apply_adapter(module, params, x, dpb, lambdas, t):
+            def apply_adapter(module, params, x, dpb, lambdas, t,
+                              quant_mode="ste", rngs=None):
                 return jax.checkpoint(
-                    lambda p, x, dpb: inner(module, p, x, dpb, lambdas, t),
-                    static_argnums=())(params, x, dpb)
+                    lambda p, x, dpb, rngs: inner(
+                        module, p, x, dpb, lambdas, t,
+                        quant_mode=quant_mode, rngs=rngs),
+                    static_argnums=())(params, x, dpb, rngs)
 
-        def loss_fn(params, clip, lambdas):
+        def loss_fn(params, clip, lambdas, key):
             x0 = clip[:, 0]
             dpb = {"ref_frame": x0, "ref_feature": None,
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
             total = 0.0
             for t in range(1, stage.cascade_frames + 1):
                 x = clip[:, t]
-                out = apply_adapter(module, params, x, dpb, lambdas, t)
+                rngs = ({"noise": jax.random.fold_in(key, t)}
+                        if quant_mode == "noise" else None)
+                out = apply_adapter(module, params, x, dpb, lambdas, t,
+                                    quant_mode=quant_mode, rngs=rngs)
                 total = total + rd_loss(x, out["dpb"]["ref_frame"],
-                                        out["bpp"], lambdas)
+                                        out["bpp"], lambdas, distortion)
                 dpb = dict(out["dpb"])
                 if stage.detach:
                     dpb = jax.tree.map(jax.lax.stop_gradient, dpb)
             return total / stage.cascade_frames
 
         @jax.jit
-        def step(params, opt_state, clip, lambdas):
-            loss, grads = jax.value_and_grad(loss_fn)(params, clip, lambdas)
+        def step(params, opt_state, clip, lambdas, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, clip, lambdas,
+                                                      key)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -164,8 +183,10 @@ class PFrameTrainer:
                     B = clip.shape[0]
                     levels = (np.arange(B) + global_step) % 4
                     lambdas = jnp.asarray(np.asarray(TRAIN_LAMBDAS)[levels])
+                    self.rng, key = jax.random.split(self.rng)
                     self.params, opt_state, loss = step(
-                        self.params, opt_state, jnp.asarray(clip), lambdas)
+                        self.params, opt_state, jnp.asarray(clip), lambdas,
+                        key)
                     losses.append(float(loss))
                     global_step += 1
                     if global_step % log_every == 0:
@@ -177,6 +198,13 @@ class PFrameTrainer:
                 if val_dataset is not None:
                     rec["val_loss"] = self.validate(
                         val_dataset, stage, batch_size, val_steps)
+                    # fork ModelCheckpoint(monitor='val/loss', save_top_k)
+                    # semantics (train_CANFVC_DMC.py:745-753)
+                    if (self.best_val_loss is None
+                            or rec["val_loss"] < self.best_val_loss):
+                        self.best_val_loss = rec["val_loss"]
+                        rec["best"] = True
+                        self.save(os.path.join(self.workdir, "best.npz"))
                 self.history.append(rec)
                 if save_every_epoch:
                     self.save(os.path.join(
@@ -185,9 +213,13 @@ class PFrameTrainer:
 
     def validate(self, dataset, stage: Stage | None = None,
                  batch_size: int = 4, steps: int = 8) -> float:
-        """Average cascaded RD loss over ``steps`` batches, no updates."""
+        """Average cascaded RD loss over ``steps`` batches, no updates.
+
+        Runs in eval quantization (hard round, real bit estimate) like the
+        fork's validation_step, whatever the training quant_mode."""
         stage = stage or self.schedule[0]
         module, adapter = self.module, self.apply_adapter
+        distortion = self.distortion
 
         @jax.jit
         def val_loss(params, clip, lambdas):
@@ -196,9 +228,10 @@ class PFrameTrainer:
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
             total = 0.0
             for t in range(1, stage.cascade_frames + 1):
-                out = adapter(module, params, clip[:, t], dpb, lambdas, t)
+                out = adapter(module, params, clip[:, t], dpb, lambdas, t,
+                              quant_mode="round")
                 total = total + rd_loss(clip[:, t], out["dpb"]["ref_frame"],
-                                        out["bpp"], lambdas)
+                                        out["bpp"], lambdas, distortion)
                 dpb = dict(out["dpb"])
             return total / stage.cascade_frames
 

@@ -27,6 +27,13 @@ def main():
                    help="jax.checkpoint each frame apply. auto: on for TPU "
                         "at crop >= 192 (the B=4 cascade at 256px exceeds a "
                         "single 16GB v5e without it)")
+    p.add_argument("--ssim", action="store_true",
+                   help="train on (1 - MS-SSIM)/64 instead of MSE (the "
+                        "fork's --ssim, train_CANFVC_DMC.py:74)")
+    p.add_argument("--quant_mode", choices=["ste", "noise"], default="ste",
+                   help="noise = the fork's training rate surrogate (bits "
+                        "from noise-quantized residuals, HEM "
+                        "video_model.py:466-471)")
     args = p.parse_args()
 
     import jax
@@ -75,7 +82,9 @@ def main():
 
     adapter = dmc_dc_adapter if args.model == "dmc_dc" else hem_adapter
     trainer = PFrameTrainer(module, params, workdir=args.workdir,
-                            apply_adapter=adapter, schedule=schedule)
+                            apply_adapter=adapter, schedule=schedule,
+                            distortion="ssim" if args.ssim else "mse",
+                            quant_mode=args.quant_mode)
     if args.restore:
         trainer.restore(args.restore)
 
