@@ -21,8 +21,8 @@ import numpy as np
 from ..ops.warp import get_padding_size
 from ..utils import color, metrics
 from ..utils.stream import decode_i, decode_p, encode_i, encode_p, filesize
-from ..utils.video_io import (PNGReader, PNGWriter, YUVReader,
-                              YUVWriter)
+from ..utils.video_io import (PNGReader, PNGWriter, RGBReader, RGBWriter,
+                              YUVReader, YUVWriter)
 
 
 @dataclass
@@ -33,7 +33,8 @@ class SequenceSpec:
     height: int
     frames: int
     gop: int
-    src_type: str = "png"  # png | yuv420
+    src_type: str = "png"  # png | yuv420 | rgb
+    bit_depth: int = 8  # rgb sources may be 10..16-bit (video_reader.py:83)
 
 
 @dataclass
@@ -49,6 +50,11 @@ class EvalConfig:
     verbose: int = 0
     rate_idx: int = 0
     q_in_ckpt: bool = False
+    # 420->444 chroma upsample for the model input: 0 = nearest (the
+    # reference's model-input path, DCVC-DC/test_video.py:112), 1 = bilinear
+    # (the reference also ships zoom/order-1 variants,
+    # src/transforms/functional.py:16-250) — exposed for RD cross-checks
+    chroma_upsample_order: int = 0
 
 
 def _pad_frame(x_hwc: np.ndarray, p: int) -> tuple[np.ndarray, tuple]:
@@ -67,6 +73,9 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
     """Evaluate one sequence at one rate point. Returns the per-seq summary."""
     if seq.src_type == "png":
         reader = PNGReader(seq.base_path, seq.width, seq.height)
+    elif seq.src_type == "rgb":
+        reader = RGBReader(seq.base_path, seq.width, seq.height,
+                           bit_depth=seq.bit_depth)
     else:
         reader = YUVReader(seq.base_path, seq.width, seq.height)
 
@@ -76,6 +85,10 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
             recon_writer = PNGWriter(
                 os.path.join(cfg.decoded_path, seq.name), seq.width,
                 seq.height)
+        elif seq.src_type == "rgb":
+            recon_writer = RGBWriter(
+                os.path.join(cfg.decoded_path, seq.name), seq.width,
+                seq.height, bit_depth=seq.bit_depth)
         else:  # YUV sources get a YUV recon (DCVC-DC/test_video.py:86-88)
             recon_writer = YUVWriter(
                 os.path.join(cfg.decoded_path, seq.name), seq.width,
@@ -112,13 +125,14 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
     def _record_frame(frame_np, recon, bit, t0, t1, t2, frame_idx):
         fr = {"bits": float(bit), "bpp": float(bit) / pixel_num,
               "encoding_time": t1 - t0, "decoding_time": t2 - t1}
-        if cfg.yuv420_metrics or seq.src_type != "png":
+        if cfg.yuv420_metrics or seq.src_type == "yuv420":
             # metric contract is the 420 domain: per-plane PSNR/MS-SSIM on
             # (y, subsampled u, v), weighted (6,1,1)/8
-            # (DCVC-DC/test_video.py:169-186). PNG sources are RGB and
-            # convert to YCbCr first (even-cropped for the 2x2 chroma mean).
+            # (DCVC-DC/test_video.py:169-186). PNG/raw-RGB sources are RGB
+            # and convert to YCbCr first (even-cropped for the 2x2 chroma
+            # mean).
             f444, r444 = frame_np, recon
-            if seq.src_type == "png":
+            if seq.src_type != "yuv420":
                 he, we = frame_np.shape[0] // 2 * 2, frame_np.shape[1] // 2 * 2
                 f444 = color.rgb_to_ycbcr(frame_np[:he, :we])
                 r444 = color.rgb_to_ycbcr(recon[:he, :we])
@@ -142,7 +156,7 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                                                        data_range=1)
         frame_results.append(fr)
         if recon_writer is not None:
-            if seq.src_type == "png":
+            if seq.src_type in ("png", "rgb"):
                 recon_writer.write_one_frame(recon)
             else:
                 ry, ruv = color.ycbcr444_to_420(recon)
@@ -154,7 +168,7 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                   f"dec={fr['decoding_time']:.3f}s")
 
     for frame_idx in range(frame_num):
-        if seq.src_type == "png":
+        if seq.src_type in ("png", "rgb"):
             rgb = reader.read_one_frame()
             frame = rgb
         else:
@@ -162,7 +176,11 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
             # order=0 (nearest) is the reference's model-input path
             # (DCVC-DC/test_video.py:112) and makes the 444->420 metric
             # round trip reproduce the source chroma planes exactly
-            frame = color.ycbcr420_to_444(y, uv, order=0)
+            if y is not None:
+                frame = color.ycbcr420_to_444(
+                    y, uv, order=cfg.chroma_upsample_order)
+            else:
+                frame = None
         if frame is None:
             break
         padded, pad = _pad_frame(frame.astype(np.float32), cfg.pad_multiple)
@@ -253,9 +271,12 @@ def load_dataset_config(cfg_json: dict) -> list[SequenceSpec]:
             base = os.path.join(root, cls.get("base_path", ""), seq_name)
             if src_type == "yuv420" and not base.lower().endswith(".yuv"):
                 base += ".yuv"
+            if src_type == "rgb" and not base.lower().endswith(".rgb"):
+                base += ".rgb"
             specs.append(SequenceSpec(
                 name=seq_name, base_path=base,
                 width=s["width"], height=s["height"],
                 frames=s["frames"], gop=s.get("gop", 32),
-                src_type=src_type))
+                src_type=src_type,
+                bit_depth=int(cls.get("bit_depth", s.get("bit_depth", 8)))))
     return specs

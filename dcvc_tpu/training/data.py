@@ -74,6 +74,84 @@ class VimeoDataset:
                 yield np.stack(clips)
 
 
+class VideoTestData:
+    """Per-GOP test-set items over the runner's JSON dataset config.
+
+    Equivalent of the fork's ``VideoTestData`` (DCVC-HEM/dataloader.py:
+    110-215): each item is one GOP of one test sequence,
+    ``(dataset_name, seq_name, clip[T, H, W, 3] float32, frame_start)``.
+    ``first_gop=True`` keeps only the first GOP of every sequence — the
+    fork's per-epoch validation protocol (train_CANFVC_DMC.py:241-320).
+
+    TPU-first redesign: instead of the fork's hardcoded UVG/HEVC sequence
+    tables, GOPs are enumerated from the same JSON schema the eval harness
+    uses (``load_dataset_config``), so any configured test set works; frames
+    come through the PNG/YUV readers (YUV converts to RGB like the eval
+    path).
+    """
+
+    def __init__(self, cfg_json: dict, first_gop: bool = False,
+                 gop: int | None = None, classes=None):
+        from ..runner.video import load_dataset_config
+        from ..utils import color as _color
+        from ..utils.video_io import PNGReader, YUVReader
+
+        self._color = _color
+        self._PNGReader, self._YUVReader = PNGReader, YUVReader
+        specs = load_dataset_config(cfg_json)
+        if classes is not None:
+            # map class label -> sequence membership from the raw config
+            keep = set()
+            for cls_name, cls in cfg_json.get("test_classes", {}).items():
+                if cls_name in classes:
+                    keep.update(cls.get("sequences", {}).keys())
+            specs = [s for s in specs if s.name in keep]
+        self._class_of = {}
+        for cls_name, cls in cfg_json.get("test_classes", {}).items():
+            for seq_name in cls.get("sequences", {}).keys():
+                self._class_of[seq_name] = cls_name
+        self.gop_list = []
+        for spec in specs:
+            g = gop or spec.gop
+            n_gops = 1 if first_gop else max(spec.frames // g, 1)
+            for gop_idx in range(n_gops):
+                start = g * gop_idx
+                end = min(start + g, spec.frames)
+                self.gop_list.append((spec, start, end))
+
+    def __len__(self):
+        return len(self.gop_list)
+
+    def _read_clip(self, spec, start: int, end: int) -> np.ndarray:
+        frames = []
+        if spec.src_type == "png":
+            reader = self._PNGReader(spec.base_path, spec.width, spec.height,
+                                     start_num=1 + start)
+            for _ in range(end - start):
+                frames.append(reader.read_one_frame())  # HWC [0,1]
+        else:
+            reader = self._YUVReader(spec.base_path, spec.width, spec.height,
+                                     skip_frame=start)
+            for _ in range(end - start):
+                y, uv = reader.read_one_frame()
+                frames.append(self._color.ycbcr420_to_rgb(y, uv, order=0))
+        reader.close()
+        return np.stack(frames).astype(np.float32)
+
+    def __getitem__(self, idx: int):
+        spec, start, end = self.gop_list[idx]
+        clip = self._read_clip(spec, start, end)
+        return (self._class_of.get(spec.name, ""), spec.name, clip, start)
+
+    def batches(self, batch_size: int, steps: int, **_):
+        """Trainer-validation surface: yields [1, T, H, W, 3] GOP clips,
+        one sequence-GOP per batch (resolutions differ across sequences, so
+        the fork also validates at batch size 1)."""
+        for i in range(min(steps, len(self.gop_list))):
+            _, _, clip, _ = self[i % len(self.gop_list)]
+            yield clip[None]
+
+
 class SyntheticClips:
     """Deterministic synthetic clips for harness smoke tests (no dataset)."""
 

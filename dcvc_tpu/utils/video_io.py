@@ -58,6 +58,68 @@ class PNGWriter:
         pass
 
 
+class RGBReader:
+    """Raw planar RGB (3xHxW planes per frame), 8- or 10..16-bit little-endian.
+
+    Byte format matches the reference RGBReader
+    (DCVC-DC/src/utils/video_reader.py:83-120); frames come out HWC [0,1].
+    """
+
+    def __init__(self, src_path: str, width: int, height: int,
+                 bit_depth: int = 8):
+        if not src_path.endswith(".rgb"):
+            src_path += ".rgb"
+        self.width, self.height = width, height
+        self.eof = False
+        if 8 < bit_depth <= 16:
+            self.dtype, self.max_val = np.uint16, (1 << bit_depth) - 1
+        else:
+            assert bit_depth == 8
+            self.dtype, self.max_val = np.uint8, 255
+        self._frame_elems = width * height * 3
+        self._f = open(src_path, "rb")
+
+    def read_one_frame(self) -> np.ndarray | None:
+        raw = self._f.read(self._frame_elems * np.dtype(self.dtype).itemsize)
+        buf = np.frombuffer(raw, dtype=self.dtype)
+        if buf.size < self._frame_elems:
+            self.eof = True
+            return None
+        chw = buf.reshape(3, self.height, self.width).astype(np.float32)
+        return np.transpose(chw / self.max_val, (1, 2, 0))
+
+    def close(self):
+        self._f.close()
+
+
+class RGBWriter:
+    """Raw planar RGB writer, byte-compatible with the reference RGBWriter
+    (DCVC-DC/src/utils/video_writer.py:51-79)."""
+
+    def __init__(self, dst_path: str, width: int, height: int,
+                 bit_depth: int = 8):
+        if not dst_path.endswith(".rgb"):
+            dst_path += ".rgb"
+        os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+        self.width, self.height = width, height
+        if 8 < bit_depth <= 16:
+            self.dtype, self.max_val = np.uint16, (1 << bit_depth) - 1
+        else:
+            assert bit_depth == 8
+            self.dtype, self.max_val = np.uint8, 255
+        self._f = open(dst_path, "wb")
+
+    def write_one_frame(self, rgb: np.ndarray):
+        """HWC float [0,1]."""
+        chw = np.transpose(rgb, (2, 0, 1))
+        arr = np.clip(np.rint(chw * self.max_val), 0,
+                      self.max_val).astype(self.dtype)
+        self._f.write(arr.tobytes())
+
+    def close(self):
+        self._f.close()
+
+
 class YUVReader:
     """Planar YUV420, 8-bit."""
 

@@ -71,6 +71,26 @@ def heatmap(x: np.ndarray) -> np.ndarray:
     return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
 
 
+def ctu_crop(x_hwc: np.ndarray, ctu_size: int = 64,
+             pad_if_needed: bool = False,
+             padding_mode: str = "constant") -> np.ndarray:
+    """CTU-align a frame: crop to a multiple of ``ctu_size`` (top-left
+    anchored), or pad up to one when ``pad_if_needed`` (fork's CTUCrop
+    transform, DCVC-HEM/src/utils/vision.py:74-137 — used to feed test
+    sequences whose dims aren't codec-aligned into training/eval)."""
+    h, w = x_hwc.shape[:2]
+    if pad_if_needed:
+        ph = (-h) % ctu_size
+        pw = (-w) % ctu_size
+        if not (ph or pw):
+            return x_hwc
+        mode = {"constant": "constant", "edge": "edge",
+                "reflect": "reflect", "symmetric": "symmetric"}[padding_mode]
+        pad = ((0, ph), (0, pw)) + ((0, 0),) * (x_hwc.ndim - 2)
+        return np.pad(x_hwc, pad, mode=mode)
+    return x_hwc[:h - h % ctu_size, :w - w % ctu_size]
+
+
 class Alignment:
     """Pad-to-multiple align/resume (fork's Alignment util)."""
 

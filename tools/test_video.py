@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--stream_part_p", type=int, default=1)
     p.add_argument("--output_path", type=str, default="out/results.json")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--chroma_upsample_order", type=int, default=0,
+                   choices=[0, 1],
+                   help="420->444 model-input chroma upsample: 0 nearest "
+                        "(reference default), 1 bilinear (RD cross-check)")
     return p.parse_args()
 
 
@@ -119,6 +123,7 @@ def main():
                 yuv420_metrics=bool(args.yuv420),
                 verbose=args.verbose,
                 q_in_ckpt=(args.rate_num == 4 and not args.q_indexes),
+                chroma_upsample_order=args.chroma_upsample_order,
             )
             summary = run_sequence(i_rt, p_rt, seq, cfg,
                                    q_index_i=q, q_index_p=q)
