@@ -64,9 +64,20 @@ def run_sharded(items: Sequence[WorkItem], worker: Callable[[WorkItem], dict],
 
 
 def maybe_init_distributed():
-    """Initialize jax.distributed when launched under a multi-host runner."""
+    """Initialize jax.distributed when launched under a multi-host runner.
+
+    Cluster schedulers (TPU pods, SLURM) are auto-detected by
+    ``jax.distributed.initialize()``; manual launches (and the 2-process CPU
+    test) pass JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES/JAX_PROCESS_ID]
+    explicitly."""
     import jax
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr:
+        kwargs = {"coordinator_address": addr}
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
     return jax.process_index(), jax.process_count()
