@@ -111,11 +111,12 @@ class OffsetDiversity(nn.Module):
 
         mode = self.warp_mode or os.environ.get("DCVC_TPU_OD_WARP", "exact")
         if mode.startswith("tile"):
-            # "tile" | "tile:T" | "tile:T,R"
+            # "tile" | "tile:T" | "tile:T,R" | "tile:T,R,mean|median"
             t_r = mode.split(":", 1)[1].split(",") if ":" in mode else []
             T = int(t_r[0]) if len(t_r) >= 1 and t_r[0] else 16
             R = int(t_r[1]) if len(t_r) >= 2 else 2
-            warp = lambda a, b: tile_warp(a, b, T, R)
+            base = t_r[2] if len(t_r) >= 3 else "median"
+            warp = lambda a, b: tile_warp(a, b, T, R, base)
         else:
             warp = flow_warp
 

@@ -39,6 +39,10 @@ _WARP_BARRIER = bool(int(os.environ.get("DCVC_TPU_WARP_BARRIER", "0")))
 # (CPU/GPU vectorize gathers fine, and the batched lax.map makes CPU
 # autodiff compiles pathologically slow).
 _WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "auto")
+# tile_warp bf16 inputs: compute in f32 (default) — bf16 slice widths are
+# 32B-misaligned for the packed tile operand and fall off the gather fast
+# path (see tile_warp docstring). DCVC_TPU_TILE_F32=0 for A/B.
+_TILE_F32 = bool(int(os.environ.get("DCVC_TPU_TILE_F32", "1")))
 
 
 def _warp_indices(H, W, flow):
@@ -197,7 +201,8 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _tile_warp1(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int):
+def _tile_warp1(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int,
+                base_mode: str = "median"):
     """Single-batch row-tile warp core. im [1,H,W,C], flow [1,H,W,2]."""
     _, H, W, C = im.shape
     A = 2 * R + 2               # packed row-channel count (floor(ry) in
@@ -208,7 +213,14 @@ def _tile_warp1(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int):
 
     nt = W // T
     offt = flow.reshape(1, H, nt, T, 2)
-    base = jnp.round(jnp.mean(offt, axis=3))             # [1, H, nt, 2]
+    if base_mode == "mean":
+        base = jnp.round(jnp.mean(offt, axis=3))         # [1, H, nt, 2]
+    else:
+        # median base: at motion boundaries the run spans two motions; the
+        # median sits on the majority motion so the majority of pixels stay
+        # within +-R (exact), while a mean drifts toward the minority and
+        # can push EVERY pixel off base. Sort-of-T vector op, no gathers.
+        base = jnp.round(jnp.median(offt, axis=3))
 
     # slice starts (with border clamping folded back into the residual)
     pads = R + 1
@@ -270,27 +282,37 @@ def _tile_warp1(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int):
 
 
 def tile_warp(im: jnp.ndarray, flow: jnp.ndarray, tile: int = 16,
-              residual: int = 2) -> jnp.ndarray:
+              residual: int = 2, base_mode: str = "median") -> jnp.ndarray:
     """APPROXIMATE backward warp: one gather slice per 1x``tile`` run.
 
-    Decomposes per-pixel offsets into a per-run integer base (rounded mean)
-    plus a per-pixel residual clamped to [-residual, residual). EXACT
-    (matches flow_warp) whenever every pixel's offset deviates from its
-    run's rounded mean by less than ``residual`` in both axes; otherwise
-    the residual clamps (bounded approximation). Cuts gather-slice count
-    ``tile``-fold: the exact warp is issue-rate-bound at ~17ns per pixel
-    per map (DCVC-DC OffsetDiversity = 71%% of the DMC frame), this form
-    is byte-bound at ~10-17GB/s (measured ~1.9x for G*O=32 3-channel maps
-    at 720p, T=16 R=2 f32).
+    Decomposes per-pixel offsets into a per-run integer base (rounded
+    median by default, ``base_mode="mean"`` for the round-1 behavior) plus
+    a per-pixel residual clamped to [-residual, residual). EXACT (matches
+    flow_warp) whenever every pixel's offset deviates from its run's base
+    by less than ``residual`` in both axes; otherwise the residual clamps
+    (bounded approximation). Cuts gather-slice count ``tile``-fold: the
+    exact warp is issue-rate-bound at ~17ns per pixel per map (DCVC-DC
+    OffsetDiversity = 71%% of the DMC frame), this form is byte-bound at
+    ~10-17GB/s (measured ~1.9x for G*O=32 3-channel maps at 720p, T=16 R=2
+    f32).
     """
     B, H, W, _ = im.shape
+    out_dtype = im.dtype
+    if im.dtype == jnp.bfloat16 and _TILE_F32:
+        # bf16 wide gather slices with 32B-misaligned channel widths fall
+        # off the v5e gather fast path (measured: bf16 tile mode SLOWER
+        # than the exact warp at 1080p, while f32 tile is ~2x faster);
+        # compute the tile warp in f32 and cast back
+        im = im.astype(jnp.float32)
+        flow = flow.astype(jnp.float32)
     pad_w = (-W) % tile
     if pad_w:
         im = jnp.pad(im, ((0, 0), (0, 0), (0, pad_w), (0, 0)), mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
                        mode="edge")
     out = _map_batched(
-        lambda a, b: _tile_warp1(a, b, tile, residual), im, flow)
+        lambda a, b: _tile_warp1(a, b, tile, residual, base_mode), im, flow)
+    out = out.astype(out_dtype)
     return out[:, :, :W] if pad_w else out
 
 

@@ -68,3 +68,26 @@ def test_compress_decompress_roundtrip(dmc):
         np.testing.assert_allclose(np.asarray(comp["dpb"][key]),
                                    np.asarray(dec["dpb"][key]),
                                    atol=1e-5, err_msg=key)
+
+
+def test_roundtrip_with_tile_warp_mode():
+    """Bitstream consistency is warp-mode-independent: encoder and decoder
+    share the tile warp, so decode still reproduces the encoder recon (the
+    RD gate for defaulting tile mode on TPU, VERDICT round-1 item #1)."""
+    module = DMC(od_warp_mode="tile:16,2")
+    x0 = jnp.zeros((1, 64, 64, 3))
+    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+    params = module.init(jax.random.PRNGKey(0), x0, _initial_dpb(x0), qs, 0)
+    rt = DmcRuntime(module, params)
+    rt.update(force=True)
+    ref = _frame(seed=4)
+    x = _frame(seed=4, shift=1)
+    dpb = _initial_dpb(ref)
+    comp = rt.compress(x, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
+    dec = rt.decompress(dpb, comp["bit_stream"], 64, 64,
+                        q_in_ckpt=True, q_index=0, frame_idx=1)
+    for key in ("ref_frame", "ref_feature", "ref_mv_feature", "ref_y",
+                "ref_mv_y"):
+        np.testing.assert_allclose(np.asarray(comp["dpb"][key]),
+                                   np.asarray(dec["dpb"][key]),
+                                   atol=1e-5, err_msg=key)

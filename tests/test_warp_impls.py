@@ -118,6 +118,39 @@ class TestTileWarp:
         assert b.shape == a.shape
         assert np.max(np.abs(a - b)[:, 4:-4, 16:-16]) < 1e-5
 
+    def test_median_base_exact_within_bound(self):
+        from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+        rng = np.random.default_rng(5)
+        im = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+        off = self._smooth_off(64, 128)
+        a = np.asarray(flow_warp(im, off))
+        b = np.asarray(tile_warp(im, off, 16, 2, "median"))
+        assert np.max(np.abs(a - b)[:, 4:-4, 16:-16]) < 1e-5
+
+    def test_median_base_beats_mean_at_motion_boundary(self):
+        """A run spanning two motions: the median base keeps the majority
+        pixels exact; the mean drifts toward the minority and clamps them."""
+        from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+        rng = np.random.default_rng(6)
+        im = jnp.asarray(rng.random((1, 16, 32, 3)), jnp.float32)
+        # per 16-run: columns 0..11 offset 0, columns 12..15 offset 12
+        off_col = np.zeros((32,), np.float32)
+        off_col[12:16] = 12.0
+        off_col[28:32] = 12.0
+        off = jnp.asarray(
+            np.broadcast_to(off_col[None, :, None], (16, 32, 2)))[None]
+        exact = np.asarray(flow_warp(im, off))
+        med = np.asarray(tile_warp(im, off, 16, 2, "median"))
+        mean = np.asarray(tile_warp(im, off, 16, 2, "mean"))
+        # majority pixels (cols 2..11, away from x-borders)
+        maj = np.s_[:, 2:-2, 2:12]
+        med_err = np.max(np.abs(exact - med)[maj])
+        mean_err = np.max(np.abs(exact - mean)[maj])
+        assert med_err < 1e-5
+        assert mean_err > 0.01  # mean base = round(3) pushes majority off
+
     def test_offset_diversity_tile_mode_runs(self):
         import jax
 

@@ -1,0 +1,303 @@
+#!/usr/bin/env python
+"""Row-tile warp (ops/warp.py:tile_warp) accuracy/RD study — the round-2
+gate for making it the TPU OffsetDiversity default (VERDICT item #1).
+
+Three modes:
+  stats  — clamp-fraction + warp-error tables over realistic flow families
+           (global pan/zoom/rotation, layered motion with discontinuities,
+           turbulence), per (T, R, base_mode). CPU-friendly.
+  dmc    — end-metric deltas on the full DMC P-frame forward: recon PSNR
+           drift + bpp drift, exact vs tile modes, same params (random init
+           or --restore a trained checkpoint).
+  bench  — TPU wall-clock A/B of the DMC frame per warp mode.
+
+The exact warp is issue-bound (~17ns/slice, G*O*H*W slices); tile mode is
+byte-bound — see PLAN.md for the v5e cost model.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# realistic flow families
+# ---------------------------------------------------------------------------
+
+def flow_global(H, W, dx, dy, noise=0.0, rng=None):
+    f = np.zeros((H, W, 2), np.float32)
+    f[..., 0], f[..., 1] = dx, dy
+    if noise and rng is not None:
+        f += rng.normal(0, noise, f.shape).astype(np.float32)
+    return f
+
+
+def flow_affine(H, W, scale=1.02, angle_deg=1.0, tx=0.0, ty=0.0):
+    """Flow of an affine warp about the image center (zoom/rotation pans
+    grow linearly toward the borders — the classic large-|flow| case)."""
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    cx, cy = (W - 1) / 2, (H - 1) / 2
+    a = np.deg2rad(angle_deg)
+    ca, sa = np.cos(a) * scale, np.sin(a) * scale
+    sx = ca * (xs - cx) - sa * (ys - cy) + cx + tx
+    sy = sa * (xs - cx) + ca * (ys - cy) + cy + ty
+    return np.stack([sx - xs, sy - ys], axis=-1).astype(np.float32)
+
+
+def flow_layered(H, W, rng, n_objects=6, bg=(1.5, -0.8), obj_mag=12.0):
+    """Background translation + rigid objects with distinct motions —
+    motion discontinuities at object borders (the tile mode's worst case)."""
+    f = flow_global(H, W, *bg)
+    for _ in range(n_objects):
+        h = int(rng.integers(H // 8, H // 3))
+        w = int(rng.integers(W // 8, W // 3))
+        top = int(rng.integers(0, H - h))
+        left = int(rng.integers(0, W - w))
+        v = rng.uniform(-obj_mag, obj_mag, 2).astype(np.float32)
+        f[top:top + h, left:left + w] = v
+    return f
+
+
+def flow_turbulence(H, W, rng, amp=4.0, sigma=24):
+    from scipy import ndimage
+
+    f = rng.standard_normal((H, W, 2)).astype(np.float32)
+    f = ndimage.gaussian_filter(f, (sigma, sigma, 0))
+    f *= amp / (np.abs(f).max() + 1e-9)
+    return f
+
+
+def od_offsets(flow, rng, n_maps=4, learned_amp=1.5, sigma=16):
+    """OffsetDiversity-style per-map offsets: shared flow + smooth learned
+    perturbation (conv-head outputs are smooth, tanh-bounded; trained nets
+    keep them small)."""
+    from scipy import ndimage
+
+    H, W, _ = flow.shape
+    outs = []
+    for _ in range(n_maps):
+        p = rng.standard_normal((H, W, 2)).astype(np.float32)
+        p = ndimage.gaussian_filter(p, (sigma, sigma, 0))
+        p *= learned_amp / (np.abs(p).max() + 1e-9)
+        outs.append(flow + p)
+    return outs
+
+
+FAMILIES = {
+    "pan_small": lambda H, W, rng: flow_global(H, W, 1.3, -0.6, 0.05, rng),
+    "pan_large": lambda H, W, rng: flow_global(H, W, 17.4, 9.2, 0.05, rng),
+    "zoom_rot": lambda H, W, rng: flow_affine(H, W, 1.015, 1.2, 2.0, -1.0),
+    "layered": lambda H, W, rng: flow_layered(H, W, rng),
+    "turbulence": lambda H, W, rng: flow_turbulence(H, W, rng),
+}
+
+
+# ---------------------------------------------------------------------------
+# stats mode
+# ---------------------------------------------------------------------------
+
+def clamp_fraction(off, T, R, base_mode):
+    H, W, _ = off.shape
+    W_t = W - W % T
+    o = off[:, :W_t].reshape(H, W_t // T, T, 2)
+    if base_mode == "mean":
+        base = np.round(o.mean(axis=2, keepdims=True))
+    else:
+        base = np.round(np.median(o, axis=2, keepdims=True))
+    res = o - base
+    bad = (res[..., 0] < -R) | (res[..., 0] >= R) \
+        | (res[..., 1] < -R) | (res[..., 1] >= R)
+    return float(bad.mean())
+
+
+def run_stats(args):
+    import jax.numpy as jnp
+
+    from dcvc_tpu.ops.warp import flow_warp, tile_warp
+
+    rng = np.random.default_rng(0)
+    H, W = args.height, args.width
+    from scipy import ndimage
+
+    tex = ndimage.gaussian_filter(rng.random((H, W, 3)), (1.5, 1.5, 0)) \
+        .astype(np.float32)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+
+    rows = []
+    for fam, make in FAMILIES.items():
+        maps = od_offsets(make(H, W, rng), rng, n_maps=args.maps)
+        for T, R in [(16, 1), (16, 2), (32, 1), (32, 2), (64, 1)]:
+            for base_mode in ("mean", "median"):
+                cf = np.mean([clamp_fraction(m, T, R, base_mode)
+                              for m in maps])
+                errs, psnrs = [], []
+                for m in maps:
+                    fl = jnp.asarray(m)[None]
+                    im = jnp.asarray(tex)[None]
+                    exact = np.asarray(flow_warp(im, fl))
+                    approx = np.asarray(tile_warp(im, fl, T, R, base_mode))
+                    err = np.abs(exact - approx)
+                    errs.append(err.max())
+                    mse = np.mean((exact - approx) ** 2)
+                    psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+                rows.append({
+                    "family": fam, "T": T, "R": R, "base": base_mode,
+                    "clamp_frac": round(cf, 5),
+                    "max_err": round(float(np.max(errs)), 4),
+                    "psnr_vs_exact": round(float(np.mean(psnrs)), 2)})
+    for r in rows:
+        print(json.dumps(r))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# dmc mode: end-metric deltas on the full model forward
+# ---------------------------------------------------------------------------
+
+def _moving_clip(H, W, rng, mag=6.0):
+    """Textured frame pair with layered motion (ground-truth style)."""
+    from scipy import ndimage
+
+    base = ndimage.gaussian_filter(rng.random((H + 64, W + 64, 3)),
+                                   (2, 2, 0)).astype(np.float32)
+    base = (base - base.min()) / (base.max() - base.min())
+    f0 = base[32:32 + H, 32:32 + W]
+    fl = flow_layered(H, W, rng, bg=(mag / 3, -mag / 4), obj_mag=mag)
+    ys, xs = np.mgrid[0:H, 0:W]
+    sx = np.clip(xs + 32 + fl[..., 0], 0, W + 63).astype(np.float32)
+    sy = np.clip(ys + 32 + fl[..., 1], 0, H + 63).astype(np.float32)
+    f1 = np.stack([ndimage.map_coordinates(base[..., c], [sy, sx], order=1)
+                   for c in range(3)], axis=-1)
+    return f0, f1.astype(np.float32)
+
+
+def run_dmc(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dcvc_tpu.models.video_dc import DMC
+    from dcvc_tpu.utils.checkpoint import load_params
+
+    H, W = args.height, args.width
+    rng = np.random.default_rng(1)
+
+    def build(mode):
+        module = DMC(od_warp_mode=mode)
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
+                "ref_y": None, "ref_mv_y": None}
+        qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+        params = jax.jit(module.init, static_argnums=(4,))(
+            jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+        if args.restore:
+            params = load_params(args.restore, params)
+        return module, params, qs
+
+    results = {}
+    f0, f1 = _moving_clip(H, W, rng, mag=args.motion)
+    x = jnp.asarray(f1)[None]
+    dpb = {"ref_frame": jnp.asarray(f0)[None], "ref_feature": None,
+           "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+    for mode in ["exact"] + args.tile_modes.split("+"):
+        module, params, qs = build(mode)
+        out = jax.jit(
+            lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1),
+            static_argnums=())(params, x, dpb, qs)
+        x_hat = np.asarray(out["dpb"]["ref_frame"])
+        mse = np.mean((np.asarray(x) - x_hat) ** 2)
+        results[mode] = {
+            "psnr": 10 * np.log10(1.0 / max(mse, 1e-12)),
+            "bpp": float(np.asarray(out["bpp"])[0]),
+            "x_hat": x_hat,
+        }
+    ex = results["exact"]
+    for mode, r in results.items():
+        drift = np.mean((r["x_hat"] - ex["x_hat"]) ** 2)
+        print(json.dumps({
+            "mode": mode,
+            "psnr": round(r["psnr"], 4),
+            "dpsnr_vs_exact": round(r["psnr"] - ex["psnr"], 4),
+            "bpp": round(r["bpp"], 6),
+            "dbpp_pct": round(100 * (r["bpp"] - ex["bpp"])
+                              / max(ex["bpp"], 1e-9), 3),
+            "recon_drift_psnr": round(
+                10 * np.log10(1.0 / max(drift, 1e-12)), 2),
+        }))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# bench mode: TPU wall-clock A/B (chained frames, one readback probe)
+# ---------------------------------------------------------------------------
+
+def run_bench(args):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dcvc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    import jax.numpy as jnp
+
+    from dcvc_tpu.models.video_dc import DMC
+
+    H, W = args.height, args.width
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    for mode in ["exact"] + args.tile_modes.split("+"):
+        module = DMC(od_warp_mode=mode)
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
+                "ref_y": None, "ref_mv_y": None}
+        qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+        params = jax.jit(module.init, static_argnums=(4,))(
+            jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+        if args.bf16:
+            params = jax.tree.map(
+                lambda v: v.astype(dt) if v.dtype == jnp.float32 else v,
+                params)
+
+        @jax.jit
+        def p_frame(p, x, dpb, qs):
+            out = module.apply(p, x, dpb, qs, 1)
+            # scalar probe: host readback of this value is the only reliable
+            # sync on the remote-tunnel platform
+            return out["dpb"], jnp.sum(out["dpb"]["ref_frame"])
+
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3), dt)
+        dpb = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
+               "ref_y": None, "ref_mv_y": None}
+        n = args.iters
+        dpb, probe = p_frame(params, x, dpb, qs)   # build steady-state dpb
+        dpb, probe = p_frame(params, x, dpb, qs)   # steady-shape warm pass
+        float(probe)
+        t0 = time.time()
+        for _ in range(n):
+            dpb, probe = p_frame(params, x, dpb, qs)
+        float(probe)
+        dt_s = (time.time() - t0) / n
+        print(json.dumps({"mode": mode, "ms_per_frame": round(dt_s * 1e3, 1),
+                          "fps": round(1 / dt_s, 3)}), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["stats", "dmc", "bench"])
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=448)
+    p.add_argument("--maps", type=int, default=4)
+    p.add_argument("--motion", type=float, default=8.0)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--tile_modes", default="tile:16,2+tile:32,1+tile:64,1")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+    {"stats": run_stats, "dmc": run_dmc, "bench": run_bench}[args.mode](args)
+
+
+if __name__ == "__main__":
+    main()
