@@ -36,20 +36,30 @@ def shard_work(items: Sequence, process_index: int | None = None,
 
 
 def run_sharded(items: Sequence[WorkItem], worker: Callable[[WorkItem], dict],
-                out_dir: str = "out/shards") -> dict:
+                out_dir: str = "out/shards", retries: int = 1) -> dict:
     """Run this host's share, persist partial results, merge what exists.
 
     Each host writes out/shards/results_{pid}.json; the lowest-index host
     merges everything present (hosts that haven't finished are skipped by
     the merge and picked up on re-run — elastic-ish recovery without a
-    coordinator)."""
+    coordinator). A worker exception is retried ``retries`` times, then
+    recorded as an ``{"error": ...}`` entry instead of killing the host's
+    whole shard (the reference's pool loses the worker process instead,
+    DCVC-DC/test_video.py:276-338)."""
     import jax
 
     pid = jax.process_index()
     mine = shard_work(items)
     results = {}
     for item in mine:
-        results[f"{item.seq_name}/rate_{item.rate_idx}"] = worker(item)
+        key = f"{item.seq_name}/rate_{item.rate_idx}"
+        for attempt in range(retries + 1):
+            try:
+                results[key] = worker(item)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == retries:
+                    results[key] = {"error": repr(e), "attempts": attempt + 1}
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"results_{pid}.json"), "w") as f:

@@ -127,3 +127,31 @@ def test_two_process_jax_distributed(tmp_path):
     # all 5 items present, produced by both processes
     assert len(merged) == 5
     assert {v["pid"] for v in merged.values()} == {0, 1}
+
+
+class TestWorkerRetry:
+    def test_flaky_worker_retried(self, tmp_path):
+        calls = {"n": 0}
+
+        def flaky(item):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient")
+            return {"ok": True}
+
+        merged = run_sharded([WorkItem("s", 0, {})], flaky,
+                             out_dir=str(tmp_path), retries=1)
+        assert merged["s/rate_0"] == {"ok": True}
+        assert calls["n"] == 2
+
+    def test_permanent_failure_recorded_not_fatal(self, tmp_path):
+        def broken(item):
+            raise RuntimeError("boom")
+
+        items = [WorkItem("bad", 0, {}), WorkItem("good", 1, {})]
+        merged = run_sharded(items, lambda it: {"v": 1}
+                             if it.seq_name == "good" else broken(it),
+                             out_dir=str(tmp_path), retries=1)
+        assert merged["good/rate_1"] == {"v": 1}
+        assert "error" in merged["bad/rate_0"]
+        assert merged["bad/rate_0"]["attempts"] == 2
