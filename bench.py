@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: DCVC-DC (DMC) 1080p encode+decode frames/s per chip.
 
-Runs the flagship P-frame codec in estimated-bits mode (the reference's
-write_stream=0 path, DCVC-DC/test_video.py) at 1080p on the available
-accelerator and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+Runs the flagship P-frame codec at 1080p on the available accelerator and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "extra": {...}}
+
+The headline value is the estimated-bits path (the reference's
+write_stream=0 protocol, DCVC-DC/test_video.py) with the RD-gated row-tile
+warp (see RDNOTES.md / tools/od_warp_study.py). ``extra`` carries the
+exact-warp fps, and the real-coding (write_stream) compress/decompress fps
+with actual rANS entropy coding — the reference baseline includes its CPU
+entropy coder, so both comparisons are recorded
+(timing brackets: DCVC-DC/src/models/video_model.py:526-540).
 
 vs_baseline is measured fps / reference GPU fps. No GPU fps figure is
 published in-repo (BASELINE.md); external context for DCVC-DC on A100-era
@@ -14,6 +21,7 @@ number is recorded.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -23,10 +31,17 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dcvc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
+import numpy as np
 
 from dcvc_tpu.models.video_dc import DMC
 
 REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
+
+# RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md): row-tile warp,
+# T=16 R=2 median base — exact on smooth/global/turbulent motion fields,
+# <=2% clamped pixels at layered motion boundaries, recon drift absorbed by
+# the residual coder. Exact warp everywhere else.
+TILE_MODE = os.environ.get("DCVC_TPU_BENCH_WARP", "tile:16,2,median")
 
 
 def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
@@ -42,61 +57,140 @@ def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
     raise RuntimeError("accelerator unavailable")
 
 
-def main():
-    _wait_for_device()
-    H, W = 1088, 1920  # 1080p padded to /16
+def _build(warp_mode):
     # bf16 compute (f32 params): the TPU-idiomatic inference dtype; f32
     # activations at 1080p exceed single-chip HBM in the grouped warp
-    module = DMC(dtype=jnp.bfloat16)
+    module = DMC(dtype=jnp.bfloat16, od_warp_mode=warp_mode)
     qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
-
-    # init at tiny resolution (params are resolution-independent); jit the
-    # 1080p step itself
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     dpb_init = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
                 "ref_y": None, "ref_mv_y": None}
     params = jax.jit(module.init, static_argnums=(4,))(
         jax.random.PRNGKey(0), x0, dpb_init, qs, 0)
+    return module, params, qs
 
-    x = jnp.zeros((1, H, W, 3), jnp.float32)
-    dpb0 = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
-            "ref_y": None, "ref_mv_y": None}
+
+def bench_estimated(module, params, qs, H, W, n_iter=8):
+    """Chained dependent P-frames (the real GOP recurrence), one readback
+    probe at the end — block_until_ready alone does not reliably block on
+    remote-tunnel platforms."""
 
     @jax.jit
     def p_frame(p, x, dpb, qs):
         out = module.apply(p, x, dpb, qs, 1)
-        # scalar probe: the final host readback of this value cannot complete
-        # before the whole chain has executed (block_until_ready alone does
-        # not reliably block on remote-tunnel platforms)
         return out["dpb"], out["bit"], jnp.sum(out["dpb"]["ref_frame"])
 
-    key = jax.random.PRNGKey(1)
-    frame = jax.random.uniform(key, (1, H, W, 3), jnp.float32)
-
-    # build steady-state dpb (all entries present), then time
+    frame = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3),
+                               jnp.float32)
+    dpb0 = {"ref_frame": frame, "ref_feature": None, "ref_mv_feature": None,
+            "ref_y": None, "ref_mv_y": None}
     dpb, _, probe = p_frame(params, frame, dpb0, qs)
-    _ = float(probe)
-
-    n_warm, n_iter = 2, 8
-    cur = dpb
-    for _ in range(n_warm):
-        cur, bit, probe = p_frame(params, frame, cur, qs)
-    _ = float(probe)
-
-    # timing: chain n_iter DEPENDENT frames (dpb feeds the next call, exactly
-    # the real GOP recurrence), then one host readback of the scalar probe
+    float(probe)
+    for _ in range(2):
+        dpb, bit, probe = p_frame(params, frame, dpb, qs)
+    float(probe)
     t0 = time.time()
+    cur = dpb
     for _ in range(n_iter):
         cur, bit, probe = p_frame(params, frame, cur, qs)
-    _ = float(probe)
-    dt = (time.time() - t0) / n_iter
+    float(probe)
+    return 1.0 / ((time.time() - t0) / n_iter)
 
-    fps = 1.0 / dt
+
+def bench_real_coding(module, params, H, W, n_iter=3):
+    """write_stream path: actual rANS bitstreams, enc/dec timed separately
+    (reference brackets: video_model.py:526-540 + test_video.py:224-227)."""
+    from dcvc_tpu.models.runtime import DmcRuntime
+
+    rt = DmcRuntime(module, params)
+    rt.update(force=True)
+    frame = jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3),
+                               jnp.float32)
+    ref = jnp.roll(frame, 2, axis=2)
+    dpb = {"ref_frame": ref, "ref_feature": None, "ref_mv_feature": None,
+           "ref_y": None, "ref_mv_y": None}
+    # warm both executables + build steady-state dpb
+    comp = rt.compress(frame, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
+    dec = rt.decompress(dpb, comp["bit_stream"], H, W, q_in_ckpt=True,
+                        q_index=0, frame_idx=1)
+    enc_t = dec_t = 0.0
+    cur = dec["dpb"]
+    bits = 0
+    for i in range(n_iter):
+        t0 = time.time()
+        comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0,
+                           frame_idx=i + 2)
+        t1 = time.time()
+        out = rt.decompress(cur, comp["bit_stream"], H, W, q_in_ckpt=True,
+                            q_index=0, frame_idx=i + 2)
+        t2 = time.time()
+        enc_t += t1 - t0
+        dec_t += t2 - t1
+        bits += len(comp["bit_stream"]) * 8
+        cur = out["dpb"]
+    enc_t /= n_iter
+    dec_t /= n_iter
+    return {
+        "real_enc_fps": round(1.0 / enc_t, 3),
+        "real_dec_fps": round(1.0 / dec_t, 3),
+        "real_encdec_fps": round(1.0 / (enc_t + dec_t), 3),
+        "real_bpp": round(bits / n_iter / (H * W), 4),
+    }
+
+
+def bench_intra(H, W, n_iter=8):
+    """IntraNoAR (DC generation) 1080p estimated-bits fps."""
+    from dcvc_tpu.models.intra_dc import IntraNoAR
+
+    module = IntraNoAR(dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), x0, jnp.ones(()),
+                                  jnp.ones(()))
+
+    @jax.jit
+    def step(p, x):
+        out = module.apply(p, x, jnp.ones(()), jnp.ones(()))
+        return out["x_hat"], jnp.sum(out["x_hat"])
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 3), jnp.float32)
+    _, probe = step(params, x)
+    float(probe)
+    t0 = time.time()
+    for _ in range(n_iter):
+        x, probe = step(params, x)  # chained: recon feeds the next frame
+    float(probe)
+    return 1.0 / ((time.time() - t0) / n_iter)
+
+
+def main():
+    _wait_for_device()
+    H, W = 1088, 1920  # 1080p padded to /16
+
+    module, params, qs = _build(TILE_MODE)
+    fps = bench_estimated(module, params, qs, H, W)
+
+    extra = {"warp_mode": TILE_MODE}
+    try:
+        module_e, params_e, qs_e = _build("exact")
+        extra["est_fps_exact_warp"] = round(
+            bench_estimated(module_e, params_e, qs_e, H, W, n_iter=4), 3)
+    except Exception as e:  # noqa: BLE001
+        extra["est_fps_exact_warp"] = f"failed: {e}"
+    try:
+        extra.update(bench_real_coding(module, params, H, W))
+    except Exception as e:  # noqa: BLE001
+        extra["real_coding"] = f"failed: {e}"
+    try:
+        extra["intra_dc_est_fps"] = round(bench_intra(H, W), 3)
+    except Exception as e:  # noqa: BLE001
+        extra["intra_dc_est_fps"] = f"failed: {e}"
+
     print(json.dumps({
         "metric": "dcvc_dc_1080p_p_frame_encdec_bf16",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+        "extra": extra,
     }))
 
 

@@ -198,3 +198,18 @@ def test_best_checkpoint_monitor(tmp_path, tiny_hem):
     assert trainer.best_val_loss is not None
     assert os.path.exists(os.path.join(str(tmp_path), "best.npz"))
     assert any(r.get("best") for r in trainer.history)
+
+
+def test_trainer_remat_plus_noise(tmp_path, tiny_hem):
+    """jax.checkpoint composed with the flax noise-RNG stream (remat stages
+    under the noise rate surrogate) must train finitely."""
+    module, params, _ = tiny_hem
+    trainer = PFrameTrainer(
+        module, params,
+        schedule=[Stage("rn", 1, cascade_frames=1, remat=True)],
+        workdir=str(tmp_path), apply_adapter=hem_adapter,
+        quant_mode="noise")
+    data = SyntheticClips(crop=64, frames=2)
+    trainer.fit(data, batch_size=1, steps_per_epoch=1,
+                save_every_epoch=False)
+    assert np.isfinite(trainer.history[-1]["loss"])

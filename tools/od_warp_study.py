@@ -193,8 +193,12 @@ def run_dmc(args):
         dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
                 "ref_y": None, "ref_mv_y": None}
         qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
-        params = jax.jit(module.init, static_argnums=(4,))(
-            jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+        init = module.init
+        if jax.default_backend() != "cpu":
+            # one compiled program on accelerators; eager on CPU (the jitted
+            # whole-init program compiles pathologically slowly there)
+            init = jax.jit(init, static_argnums=(4,))
+        params = init(jax.random.PRNGKey(0), x0, dpb0, qs, 0)
         if args.restore:
             params = load_params(args.restore, params)
         return module, params, qs
@@ -210,15 +214,15 @@ def run_dmc(args):
             lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1),
             static_argnums=())(params, x, dpb, qs)
         x_hat = np.asarray(out["dpb"]["ref_frame"])
-        mse = np.mean((np.asarray(x) - x_hat) ** 2)
+        mse = float(np.mean((np.asarray(x) - x_hat) ** 2))
         results[mode] = {
-            "psnr": 10 * np.log10(1.0 / max(mse, 1e-12)),
+            "psnr": float(10 * np.log10(1.0 / max(mse, 1e-12))),
             "bpp": float(np.asarray(out["bpp"])[0]),
             "x_hat": x_hat,
         }
     ex = results["exact"]
     for mode, r in results.items():
-        drift = np.mean((r["x_hat"] - ex["x_hat"]) ** 2)
+        drift = float(np.mean((r["x_hat"] - ex["x_hat"]) ** 2))
         print(json.dumps({
             "mode": mode,
             "psnr": round(r["psnr"], 4),
