@@ -43,6 +43,8 @@ _WARP_IMPL = os.environ.get("DCVC_TPU_WARP_IMPL", "auto")
 # 32B-misaligned for the packed tile operand and fall off the gather fast
 # path (see tile_warp docstring). DCVC_TPU_TILE_F32=0 for A/B.
 _TILE_F32 = bool(int(os.environ.get("DCVC_TPU_TILE_F32", "1")))
+# maps per vectorized tile-warp chunk (memory/speed trade; see tile_warp)
+_TILE_CHUNK = int(os.environ.get("DCVC_TPU_TILE_CHUNK", "4"))
 
 
 def _warp_indices(H, W, flow):
@@ -291,13 +293,18 @@ def _tile_warp_batched(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int,
 
     if M == 1:
         out = per_map((packed[0], idx[0], Wxw[0], Wyw[0]))[None]
+    elif M <= 8:
+        # static unroll: XLA can overlap the per-map gathers
+        out = jnp.stack([per_map((packed[i], idx[i], Wxw[i], Wyw[i]))
+                         for i in range(M)])
     else:
         out = jax.lax.map(per_map, (packed, idx, Wxw, Wyw))
     return out.reshape(M, H, nt * T, C)
 
 
 def tile_warp(im: jnp.ndarray, flow: jnp.ndarray, tile: int = 16,
-              residual: int = 2, base_mode: str = "median") -> jnp.ndarray:
+              residual: int = 2, base_mode: str = "median",
+              chunk: int | None = None) -> jnp.ndarray:
     """APPROXIMATE backward warp: one gather slice per 1x``tile`` run.
 
     Decomposes per-pixel offsets into a per-run integer base (rounded
@@ -325,7 +332,25 @@ def tile_warp(im: jnp.ndarray, flow: jnp.ndarray, tile: int = 16,
         im = jnp.pad(im, ((0, 0), (0, 0), (0, pad_w), (0, 0)), mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
                        mode="edge")
-    out = _tile_warp_batched(im, flow, tile, residual, base_mode)
+    M = im.shape[0]
+    if chunk is None:
+        chunk = _TILE_CHUNK
+    if chunk and M > chunk and M % chunk == 0:
+        # chunked: vectorized prep per chunk of maps, lax.map over chunks —
+        # the all-maps-at-once packed operand (~5GB for 32 maps @1080p f32)
+        # OOMs HBM alongside the model's activations; fully per-map
+        # serializes 32 large materializations and ran slower than the
+        # exact warp in-model. ~chunk x less peak memory than full
+        # vectorization at near-vectorized speed.
+        Hp, Wt = im.shape[1], im.shape[2]
+        imc = im.reshape(M // chunk, chunk, Hp, Wt, im.shape[3])
+        flc = flow.reshape(M // chunk, chunk, Hp, Wt, 2)
+        out = jax.lax.map(
+            lambda ab: _tile_warp_batched(ab[0], ab[1], tile, residual,
+                                          base_mode), (imc, flc))
+        out = out.reshape(M, Hp, Wt, im.shape[3])
+    else:
+        out = _tile_warp_batched(im, flow, tile, residual, base_mode)
     out = out.astype(out_dtype)
     return out[:, :, :W] if pad_w else out
 

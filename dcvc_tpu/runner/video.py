@@ -183,6 +183,13 @@ def run_sequence(i_runtime, p_runtime, seq: SequenceSpec, cfg: EvalConfig,
                 frame = None
         if frame is None:
             break
+        if frame.shape[:2] != (seq.height, seq.width):
+            raise ValueError(
+                f"{seq.name} frame {frame_idx}: source is "
+                f"{frame.shape[1]}x{frame.shape[0]} but the dataset config "
+                f"declares {seq.width}x{seq.height} — wrong files in "
+                f"{seq.base_path}? (PNGReader resolves im1.png before "
+                f"im00001.png)")
         padded, pad = _pad_frame(frame.astype(np.float32), cfg.pad_multiple)
         x = jnp.asarray(padded)[None]
 

@@ -152,6 +152,74 @@ class VideoTestData:
             yield clip[None]
 
 
+class MotionClips:
+    """Synthetic clips with KNOWN per-pixel motion (global pan + layered
+    moving rectangles), for motion-path training/evaluation without a
+    dataset — e.g. the row-tile warp RD gate (tools/od_warp_study.py).
+
+    Frame t samples a fixed textured base at ``x + t*v(x)``: the 0→1 flow
+    field is exactly ``v`` for ANY spatially-varying v (``f1(x) =
+    base(x + v(x)) = f0(x + v(x))``), so SPyNet can be supervised directly.
+    ``batches`` yields [B, T, H, W, 3]; ``batches_with_flow`` adds the
+    ground-truth 0→1 backward flow [B, H, W, 2].
+    """
+
+    def __init__(self, crop: int = 128, frames: int = 3, max_v: float = 5.0,
+                 n_objects: int = 2, pool: int = 256, seed: int = 0):
+        self.crop, self.frames, self.max_v = crop, frames, max_v
+        self.n_objects, self.pool_size = n_objects, pool
+        self.rng = np.random.default_rng(seed)
+        self._pool: list[tuple[np.ndarray, np.ndarray]] | None = None
+
+    def _make_clip(self):
+        from scipy import ndimage
+
+        c, T, rng = self.crop, self.frames, self.rng
+        m = int(np.ceil(self.max_v * T)) + 2  # margin for sampling
+        Hb, Wb = c + 2 * m, c + 2 * m
+        # multi-scale texture (pure white noise has no trackable structure)
+        base = np.zeros((Hb, Wb, 3), np.float32)
+        for sigma, amp in ((1.5, 1.0), (6.0, 1.0), (24.0, 0.7)):
+            base += amp * ndimage.gaussian_filter(
+                rng.random((Hb, Wb, 3)).astype(np.float32), (sigma, sigma, 0))
+        base = (base - base.min()) / (base.max() - base.min() + 1e-9)
+        # velocity field: global pan + rigid rectangles with own velocities
+        v = np.empty((c, c, 2), np.float32)
+        v[:] = rng.uniform(-self.max_v, self.max_v, 2)
+        for _ in range(self.n_objects):
+            h = int(rng.integers(c // 8, c // 3))
+            w = int(rng.integers(c // 8, c // 3))
+            top = int(rng.integers(0, c - h))
+            left = int(rng.integers(0, c - w))
+            v[top:top + h, left:left + w] = rng.uniform(
+                -self.max_v, self.max_v, 2)
+        ys, xs = np.mgrid[0:c, 0:c].astype(np.float32)
+        clip = np.empty((T, c, c, 3), np.float32)
+        for t in range(T):
+            sx = xs + m + t * v[..., 0]
+            sy = ys + m + t * v[..., 1]
+            for ch in range(3):
+                clip[t, ..., ch] = ndimage.map_coordinates(
+                    base[..., ch], [sy, sx], order=1, mode="nearest")
+        return clip, v
+
+    def _pool_items(self):
+        if self._pool is None:
+            self._pool = [self._make_clip() for _ in range(self.pool_size)]
+        return self._pool
+
+    def batches(self, batch_size: int, steps: int, **_):
+        for clips, _ in self.batches_with_flow(batch_size, steps):
+            yield clips
+
+    def batches_with_flow(self, batch_size: int, steps: int):
+        pool = self._pool_items()
+        for _ in range(steps):
+            idx = self.rng.integers(0, len(pool), batch_size)
+            yield (np.stack([pool[i][0] for i in idx]),
+                   np.stack([pool[i][1] for i in idx]))
+
+
 class SyntheticClips:
     """Deterministic synthetic clips for harness smoke tests (no dataset)."""
 

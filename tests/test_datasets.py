@@ -162,3 +162,38 @@ class TestRgbRaw:
         assert specs[0].src_type == "rgb"
         assert specs[0].bit_depth == 10
         assert specs[0].base_path.endswith("s1.rgb")
+
+
+def test_motion_clips_flow_is_exact_interior():
+    """MotionClips ground-truth contract: f1(x) == f0(x + v(x)) away from
+    borders, for layered (discontinuous) velocity fields."""
+    from scipy import ndimage
+
+    from dcvc_tpu.training.data import MotionClips
+
+    d = MotionClips(crop=64, frames=3, max_v=4.0, pool=6, seed=1)
+    clips, flows = next(d.batches_with_flow(2, 1))
+    assert clips.shape == (2, 3, 64, 64, 3)
+    assert flows.shape == (2, 64, 64, 2)
+    # non-trivial motion somewhere in the pool (per-clip draws can be small)
+    assert max(np.abs(v).max() for _, v in d._pool_items()) > 1.0
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    for b in range(2):
+        c, v = clips[b], flows[b]
+        warped = np.stack(
+            [ndimage.map_coordinates(c[0, ..., ch],
+                                     [ys + v[..., 1], xs + v[..., 0]],
+                                     order=1, mode="nearest")
+             for ch in range(3)], -1)
+        m = int(np.ceil(np.abs(v).max())) + 1
+        err = np.abs(warped[m:-m, m:-m] - c[1][m:-m, m:-m]).max()
+        assert err < 1e-5
+
+
+def test_motion_clips_batches_deterministic_pool():
+    from dcvc_tpu.training.data import MotionClips
+
+    a = list(MotionClips(crop=32, pool=2, seed=7).batches(2, 2))
+    b = list(MotionClips(crop=32, pool=2, seed=7).batches(2, 2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -220,3 +220,16 @@ def test_tile_warp_gradients_match_naive_within_bound():
         a, b = np.asarray(a), np.asarray(b)
         assert np.all(np.isfinite(a))
         assert np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9) < 1e-4
+
+
+def test_tile_warp_chunked_matches_unchunked():
+    """chunk is a memory/speed knob only: identical numerics."""
+    from dcvc_tpu.ops.warp import tile_warp
+
+    rng = np.random.default_rng(9)
+    im = jnp.asarray(rng.random((8, 32, 64, 3)), jnp.float32)
+    off = jnp.asarray(rng.normal(0, 2, (8, 32, 64, 2)), jnp.float32)
+    full = np.asarray(tile_warp(im, off, 16, 2, "median", chunk=0))
+    for chunk in (1, 2, 4):
+        out = np.asarray(tile_warp(im, off, 16, 2, "median", chunk=chunk))
+        np.testing.assert_allclose(out, full, atol=1e-6)
