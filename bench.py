@@ -162,6 +162,27 @@ def bench_intra(H, W, n_iter=8):
     return 1.0 / ((time.time() - t0) / n_iter)
 
 
+def bench_evc(H, W, n_iter=8, variant="evc_SS"):
+    """EVC (speed-oriented image codec) 1080p estimated-bits fps."""
+    from dcvc_tpu.models.registry import build
+
+    module, params, _ = build(variant, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def step(p, x):
+        out = module.apply(p, x, jnp.ones(()))
+        return out["x_hat"], jnp.sum(out["x_hat"])
+
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, H, W, 3), jnp.float32)
+    _, probe = step(params, x)
+    float(probe)
+    t0 = time.time()
+    for _ in range(n_iter):
+        x, probe = step(params, x)
+    float(probe)
+    return 1.0 / ((time.time() - t0) / n_iter)
+
+
 def main():
     _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
@@ -184,6 +205,10 @@ def main():
         extra["intra_dc_est_fps"] = round(bench_intra(H, W), 3)
     except Exception as e:  # noqa: BLE001
         extra["intra_dc_est_fps"] = f"failed: {e}"
+    try:
+        extra["evc_ss_est_fps"] = round(bench_evc(H, W), 3)
+    except Exception as e:  # noqa: BLE001
+        extra["evc_ss_est_fps"] = f"failed: {e}"
 
     print(json.dumps({
         "metric": "dcvc_dc_1080p_p_frame_encdec_bf16",

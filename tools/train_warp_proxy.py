@@ -52,6 +52,16 @@ def main():
     from dcvc_tpu.training.trainer import PFrameTrainer, Stage
     from dcvc_tpu.utils.checkpoint import load_params, save_params
 
+    # the axon chip claim can linger after a killed client; retry the probe
+    for i in range(8):
+        try:
+            float(jnp.ones((8, 8)).sum())
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"device probe failed ({i + 1}/8): {e}", flush=True)
+            time.sleep(30)
+    print(f"device: {jax.devices()[0].platform}", flush=True)
+
     os.makedirs(args.workdir, exist_ok=True)
     module = DMC()
     x0 = jnp.zeros((1, args.crop, args.crop, 3), jnp.float32)
@@ -61,7 +71,11 @@ def main():
     init = module.init
     if jax.default_backend() != "cpu":
         init = jax.jit(init, static_argnums=(4,))
+    print("init compile...", flush=True)
+    t_init = time.time()
     params = init(jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+    jax.tree.map(lambda v: v.block_until_ready(), params)
+    print(f"init done ({time.time() - t_init:.0f}s)", flush=True)
     if args.restore:
         params = load_params(args.restore, params)
 
@@ -90,6 +104,7 @@ def main():
             return optax.apply_updates(p, updates), opt_state, loss
 
         t0 = time.time()
+        print("building clip pool + phase A compile...", flush=True)
         it = data.batches_with_flow(args.batch_size, args.flow_steps)
         for i, (clips, flows) in enumerate(it):
             cur = jnp.asarray(clips[:, 1])
