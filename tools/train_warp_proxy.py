@@ -86,6 +86,12 @@ def main():
                             method=lambda m, a, b: m.optic_flow(a, b))
 
     # ---------------- phase A: supervised SPyNet warmup ----------------
+    flow_ckpt = os.path.join(args.workdir, "flow_warm.npz")
+    if args.flow_steps and os.path.exists(flow_ckpt) and not args.restore:
+        # crash-resume: phase A is deterministic given the seed; reuse it
+        print(f"phase A: restoring {flow_ckpt}", flush=True)
+        params = load_params(flow_ckpt, params)
+        args.flow_steps = 0
     if args.flow_steps:
         mask = jax.tree_util.tree_map_with_path(
             lambda path, _: any(getattr(k, "key", "") == "optic_flow"
@@ -115,7 +121,7 @@ def main():
             if (i + 1) % 100 == 0:
                 print(f"[flow] step {i + 1} EPE-ish {float(loss):.3f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
-        save_params(os.path.join(args.workdir, "flow_warm.npz"), params)
+        save_params(flow_ckpt, params)
 
     # ---------------- phase B: RD training, SPyNet warm ----------------
     schedule = []
