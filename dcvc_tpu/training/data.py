@@ -152,6 +152,50 @@ class VideoTestData:
             yield clip[None]
 
 
+class CodedIFrameData(VideoTestData):
+    """``VideoTestData`` whose GOP items carry a CODEC-RECONSTRUCTED
+    I-frame (P-frames stay pristine).
+
+    Equivalent of the fork's ``BitstreamData(load_Iframe=True)``
+    (DCVC-HEM/dataloader.py:216-253), which shells out to ``bpgenc``/
+    ``bpgdec`` per I-frame and caches the decoded PNG under
+    ``bpg/<qp>/decoded/``. TPU-first redesign: the I-frame recon comes from
+    one of OUR intra codecs (any ``coder(frame) -> recon`` callable — e.g.
+    an ``IntraDcRuntime``/zoo runtime closure), so P-frame training sees
+    the same I-frame artifacts the deployed codec produces; recons are
+    cached as 8-bit PNGs under ``<cache_root>/<tag>/<seq>/frame_<idx>.png``
+    keyed by the caller's ``tag`` (the qp analogue).
+    """
+
+    def __init__(self, cfg_json: dict, coder, tag: str = "q0",
+                 cache_root: str = "out/iframe_cache", **kw):
+        super().__init__(cfg_json, **kw)
+        self.coder = coder
+        self.cache_dir = Path(cache_root) / tag
+
+    def _coded_iframe(self, spec, start: int,
+                      frame: np.ndarray) -> np.ndarray:
+        path = self.cache_dir / spec.name / f"frame_{start}.png"
+        if path.is_file():
+            img = Image.open(path).convert("RGB")
+            return np.asarray(img, dtype=np.float32) / 255.0
+        recon = np.asarray(self.coder(frame), np.float32)
+        recon = recon.reshape(frame.shape)  # tolerate [1,H,W,3] returns
+        path.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(
+            (np.clip(recon, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
+        # return the round-tripped 8-bit frame so cache hits and misses are
+        # bit-identical (the fork always reloads the decoded PNG)
+        return (np.clip(recon, 0, 1) * 255 + 0.5).astype(np.uint8) \
+            .astype(np.float32) / 255.0
+
+    def __getitem__(self, idx: int):
+        spec, start, end = self.gop_list[idx]
+        clip = self._read_clip(spec, start, end)
+        clip[0] = self._coded_iframe(spec, start, clip[0])
+        return (self._class_of.get(spec.name, ""), spec.name, clip, start)
+
+
 class MotionClips:
     """Synthetic clips with KNOWN per-pixel motion (global pan + layered
     moving rectangles), for motion-path training/evaluation without a

@@ -10,7 +10,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from dcvc_tpu.training.data import VideoTestData
+from dcvc_tpu.training.data import CodedIFrameData, VideoTestData
 from dcvc_tpu.utils.video_io import RGBReader, RGBWriter
 
 
@@ -69,6 +69,38 @@ class TestVideoTestData:
             tmp_path / "seqs" / "seqA" / "im00004.png"),
             dtype=np.float32) / 255.0
         np.testing.assert_allclose(clip[0], ref)
+
+    def test_coded_iframe_data(self, tmp_path):
+        """BitstreamData(load_Iframe=True) equivalent: I-frame comes from
+        the supplied intra coder, cached on disk; P-frames pristine."""
+        _make_png_seq(tmp_path, "seqA")
+        _make_png_seq(tmp_path, "seqB")
+        calls = []
+
+        def coder(frame):
+            calls.append(1)
+            return np.clip(frame + 0.125, 0, 1)  # fake codec artifact
+
+        ds = CodedIFrameData(_cfg(tmp_path), coder, tag="q2",
+                             cache_root=str(tmp_path / "cache"),
+                             classes=("B",), first_gop=False)
+        plain = VideoTestData(_cfg(tmp_path))
+        _, name, clip, start = ds[0]
+        _, _, ref_clip, _ = [plain[i] for i in range(len(plain))
+                             if plain[i][1] == name][0]
+        assert len(calls) == 1
+        # I-frame differs by the coder artifact (8-bit rounded)
+        np.testing.assert_allclose(
+            clip[0], np.round(np.clip(ref_clip[0] + 0.125, 0, 1) * 255)
+            / 255.0, atol=1 / 255)
+        # P-frames untouched
+        np.testing.assert_allclose(clip[1:], ref_clip[1:])
+        # cache hit: no second coder call, bit-identical frame
+        clip2 = ds[0][2]
+        assert len(calls) == 1
+        np.testing.assert_array_equal(clip, clip2)
+        assert (tmp_path / "cache" / "q2" / name /
+                f"frame_{start}.png").is_file()
 
     def test_batches_surface(self, tmp_path):
         _make_png_seq(tmp_path, "seqA")
