@@ -203,35 +203,55 @@ def run_dmc(args):
             params = load_params(args.restore, params)
         return module, params, qs
 
+    # evaluation pairs: synthetic layered-motion clips, or in-distribution
+    # MotionClips (what tools/train_warp_proxy.py trains on)
+    pairs = []
+    if args.data == "motion":
+        from dcvc_tpu.training.data import MotionClips
+
+        mc = MotionClips(crop=min(H, W), max_v=args.motion, pool=64,
+                         seed=123)
+        clips, _ = next(mc.batches_with_flow(args.n_pairs, 1))
+        for b in range(args.n_pairs):
+            pairs.append((clips[b, 0], clips[b, 1]))
+    else:
+        for _ in range(args.n_pairs):
+            pairs.append(_moving_clip(H, W, rng, mag=args.motion))
+
     results = {}
-    f0, f1 = _moving_clip(H, W, rng, mag=args.motion)
-    x = jnp.asarray(f1)[None]
-    dpb = {"ref_frame": jnp.asarray(f0)[None], "ref_feature": None,
-           "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
     for mode in ["exact"] + args.tile_modes.split("+"):
         module, params, qs = build(mode)
-        out = jax.jit(
-            lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1),
-            static_argnums=())(params, x, dpb, qs)
-        x_hat = np.asarray(out["dpb"]["ref_frame"])
-        mse = float(np.mean((np.asarray(x) - x_hat) ** 2))
-        results[mode] = {
-            "psnr": float(10 * np.log10(1.0 / max(mse, 1e-12))),
-            "bpp": float(np.asarray(out["bpp"])[0]),
-            "x_hat": x_hat,
-        }
+        fwd = jax.jit(lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1))
+        psnrs, bpps, xhats = [], [], []
+        for f0, f1 in pairs:
+            x = jnp.asarray(f1)[None]
+            dpb = {"ref_frame": jnp.asarray(f0)[None], "ref_feature": None,
+                   "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+            out = fwd(params, x, dpb, qs)
+            x_hat = np.asarray(out["dpb"]["ref_frame"], np.float32)
+            mse = float(np.mean((np.asarray(x, np.float32) - x_hat) ** 2))
+            psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            bpps.append(float(np.mean(np.asarray(out["bpp"], np.float32))))
+            xhats.append(x_hat)
+        results[mode] = {"psnr": psnrs, "bpp": bpps, "x_hat": xhats}
     ex = results["exact"]
     for mode, r in results.items():
-        drift = float(np.mean((r["x_hat"] - ex["x_hat"]) ** 2))
+        dpsnr = np.asarray(r["psnr"]) - np.asarray(ex["psnr"])
+        dbpp = 100 * (np.asarray(r["bpp"]) - np.asarray(ex["bpp"])) \
+            / np.maximum(np.asarray(ex["bpp"]), 1e-9)
+        drift = np.asarray([float(np.mean((a - b) ** 2))
+                            for a, b in zip(r["x_hat"], ex["x_hat"])])
         print(json.dumps({
             "mode": mode,
-            "psnr": round(r["psnr"], 4),
-            "dpsnr_vs_exact": round(r["psnr"] - ex["psnr"], 4),
-            "bpp": round(r["bpp"], 6),
-            "dbpp_pct": round(100 * (r["bpp"] - ex["bpp"])
-                              / max(ex["bpp"], 1e-9), 3),
-            "recon_drift_psnr": round(
-                10 * np.log10(1.0 / max(drift, 1e-12)), 2),
+            "psnr": round(float(np.mean(r["psnr"])), 4),
+            "dpsnr_vs_exact_mean": round(float(dpsnr.mean()), 4),
+            "dpsnr_vs_exact_worst": round(float(dpsnr.min()), 4),
+            "bpp": round(float(np.mean(r["bpp"])), 6),
+            "dbpp_pct_mean": round(float(dbpp.mean()), 3),
+            "dbpp_pct_worst": round(float(np.max(np.abs(dbpp))), 3),
+            "recon_drift_psnr": round(float(10 * np.log10(
+                1.0 / max(drift.mean(), 1e-12))), 2),
+            "n_pairs": len(pairs),
         }))
     return results
 
@@ -296,6 +316,11 @@ def main():
     p.add_argument("--maps", type=int, default=4)
     p.add_argument("--motion", type=float, default=8.0)
     p.add_argument("--restore", default=None)
+    p.add_argument("--data", choices=["synthetic", "motion"],
+                   default="synthetic",
+                   help="dmc mode eval pairs: layered synthetic, or "
+                        "in-distribution MotionClips (proxy training data)")
+    p.add_argument("--n_pairs", type=int, default=1)
     p.add_argument("--tile_modes", default="tile:16,2+tile:32,1+tile:64,1")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--bf16", action="store_true")

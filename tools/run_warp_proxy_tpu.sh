@@ -13,7 +13,7 @@ assert jax.devices()[0].platform != 'cpu'
 print('claimed:', float(jnp.ones((8,8)).sum()))" >> out/warp_proxy/log.txt 2>&1; then
     echo "=== train $(date -u +%H:%M:%S) ===" >> out/warp_proxy/log.txt
     timeout 14400 python tools/train_warp_proxy.py \
-      --crop 128 --batch_size 8 --flow_steps 600 --rd_steps 4500 \
+      --crop 128 --batch_size 8 --flow_steps 1500 --rd_steps 4500 \
       --cascade_steps 300 --workdir out/warp_proxy \
       >> out/warp_proxy/log.txt 2>&1 && break
   fi
