@@ -191,7 +191,12 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         im, flow = jax.lax.optimization_barrier((im, flow))
     impl = _WARP_IMPL
     if impl == "auto":
-        impl = "packed" if jax.default_backend() == "tpu" else "naive"
+        # any accelerator backend gets the packed single-slice form; only
+        # CPU/GPU (which vectorize advanced-indexing gathers fine) keep the
+        # naive form. Matched by name-exclusion because remote/plugin TPU
+        # platforms report their own names (e.g. the axon tunnel).
+        impl = ("naive" if jax.default_backend() in ("cpu", "gpu", "cuda",
+                                                     "rocm") else "packed")
     if impl == "naive":
         out = _flow_warp_naive(im, flow)
     elif impl == "rowpair":

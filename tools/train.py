@@ -69,7 +69,7 @@ def main():
                                       jnp.ones(()), jnp.ones(()))
 
     if args.remat == "auto":
-        use_remat = jax.default_backend() == "tpu" and args.crop >= 192
+        use_remat = jax.default_backend() != "cpu" and args.crop >= 192
     else:
         use_remat = args.remat == "1"
     schedule = None
