@@ -7,7 +7,7 @@ equivalent: a real XLA trace viewable in TensorBoard/Perfetto, plus the
 per-stage chained-timing breakdown (tools/diag_stages.py).
 
 Usage:
-  python tools/profile.py --model dmc_dc --height 720 --width 1280 \
+  python tools/profile_trace.py --model dmc_dc --height 720 --width 1280 \
       --trace_dir /tmp/jax_trace --iters 4
 Then: tensorboard --logdir /tmp/jax_trace (or open the .perfetto trace).
 """
