@@ -29,6 +29,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--flow_steps", type=int, default=400)
     p.add_argument("--rd_steps", type=int, default=1000)
+    # the reference's OffsetDiversity .view() rejects B>1 inputs whose
+    # repeat() strides span contiguous subspaces — RD phase runs at B=1
+    p.add_argument("--rd_batch_size", type=int, default=1)
     p.add_argument("--max_v", type=float, default=5.0)
     p.add_argument("--workdir", default="out/torch_proxy")
     args = p.parse_args()
@@ -53,6 +56,11 @@ def main():
 
     # ---------------- phase A: supervised SPyNet warmup ----------------
     state_path = os.path.join(args.workdir, "torch_dmc.pt")
+    flow_path = os.path.join(args.workdir, "torch_flow.pt")
+    if args.flow_steps and os.path.exists(flow_path):
+        print(f"phase A: restoring {flow_path}", flush=True)
+        tm.load_state_dict(torch.load(flow_path, weights_only=True))
+        args.flow_steps = 0
     if args.flow_steps:
         opt = torch.optim.Adam(tm.optic_flow.parameters(), lr=2e-4)
         t0 = time.time()
@@ -68,13 +76,14 @@ def main():
             if (i + 1) % 100 == 0:
                 print(f"[flow] step {i + 1} EPE-ish {float(loss):.3f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
+        torch.save(tm.state_dict(), flow_path)
 
     # ---------------- phase B: RD training (reference loss shape) -------
     if args.rd_steps:
         opt = torch.optim.Adam(tm.parameters(), lr=1e-4)
         lambdas = [85.0, 170.0, 380.0, 840.0]
         t0 = time.time()
-        for i, clips in enumerate(data.batches(args.batch_size,
+        for i, clips in enumerate(data.batches(args.rd_batch_size,
                                                args.rd_steps)):
             cur, ref = to_t(clips[:, 1]), to_t(clips[:, 0])
             dpb = {"ref_frame": ref, "ref_feature": None,
