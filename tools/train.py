@@ -34,6 +34,21 @@ def main():
                    help="noise = the fork's training rate surrogate (bits "
                         "from noise-quantized residuals, HEM "
                         "video_model.py:466-471)")
+    p.add_argument("--val_config", default=None,
+                   help="dataset JSON (test_video schema): per-epoch "
+                        "first-GOP validation + best-checkpoint monitor "
+                        "(the fork's protocol, train_CANFVC_DMC.py:241)")
+    p.add_argument("--val_iframe_model", default=None,
+                   help="intra model that codes validation I-frames "
+                        "(CodedIFrameData — the fork's BitstreamData/BPG "
+                        "equivalent, DCVC-HEM/dataloader.py:216). "
+                        "Pristine I-frames if omitted")
+    p.add_argument("--val_iframe_path", default=None,
+                   help="checkpoint (.pth/.npz) for --val_iframe_model")
+    p.add_argument("--val_steps", type=int, default=8)
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="truncate the stage schedule to this many total "
+                        "epochs (the fork's trainer max_epochs)")
     args = p.parse_args()
 
     import jax
@@ -73,12 +88,20 @@ def main():
     else:
         use_remat = args.remat == "1"
     schedule = None
-    if use_remat:
+    if use_remat or args.max_epochs is not None:
         from dataclasses import replace
 
         from dcvc_tpu.training.trainer import DEFAULT_SCHEDULE
 
-        schedule = [replace(st, remat=True) for st in DEFAULT_SCHEDULE]
+        schedule = [replace(st, remat=use_remat) for st in DEFAULT_SCHEDULE]
+        if args.max_epochs is not None:
+            budget, cut = args.max_epochs, []
+            for st in schedule:
+                take = min(st.epochs, budget)
+                budget -= take
+                if take:
+                    cut.append(replace(st, epochs=take))
+            schedule = cut
 
     adapter = dmc_dc_adapter if args.model == "dmc_dc" else hem_adapter
     trainer = PFrameTrainer(module, params, workdir=args.workdir,
@@ -94,8 +117,46 @@ def main():
         print("no --dataset_root: running on synthetic clips (smoke mode)")
         data = SyntheticClips(crop=min(args.crop, 64), frames=5)
 
+    val_data = None
+    if args.val_config:
+        import json
+
+        from dcvc_tpu.training.data import CodedIFrameData, VideoTestData
+
+        with open(args.val_config) as f:
+            cfg = json.load(f)
+        if args.val_iframe_model:
+            import numpy as np
+
+            from dcvc_tpu.models.registry import build
+            from dcvc_tpu.ops.warp import (crop_lrtb, get_padding_size,
+                                           replicate_pad)
+            from dcvc_tpu.runner.adapters import adapt_i_runtime
+
+            _, _, i_rt = build(args.val_iframe_model)
+            if args.val_iframe_path:
+                from dcvc_tpu.utils.checkpoint import load_params
+
+                i_rt.params = load_params(args.val_iframe_path, i_rt.params,
+                                          model=args.val_iframe_model)
+            i_ad = adapt_i_runtime(i_rt)
+            pad_m = 16 if args.val_iframe_model in ("intra_dc",) else 64
+
+            def coder(frame):
+                x = jnp.asarray(frame, jnp.float32)[None]
+                pads = get_padding_size(x.shape[1], x.shape[2], pad_m)
+                out = i_ad.forward(replicate_pad(x, pads), True, 0)
+                return np.asarray(crop_lrtb(out["x_hat"], pads)[0])
+
+            val_data = CodedIFrameData(
+                cfg, coder, tag=f"{args.val_iframe_model}_q0",
+                first_gop=True)
+        else:
+            val_data = VideoTestData(cfg, first_gop=True)
+
     trainer.fit(data, batch_size=args.batch_size,
-                steps_per_epoch=args.steps_per_epoch)
+                steps_per_epoch=args.steps_per_epoch,
+                val_dataset=val_data, val_steps=args.val_steps)
 
 
 if __name__ == "__main__":
