@@ -208,6 +208,32 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# RD-gated row-tile default for OffsetDiversity at INFERENCE time on TPU
+# backends. Evidence (RDNOTES.md): on reference-trained dynamics
+# (tools/train_torch_proxy.py -> port -> od_warp_study dmc) all tile modes
+# hold |dPSNR| <= 0.005 dB and |dbpp| <= 0.15% vs the exact warp — 20x+
+# inside the 0.1 dB / 1% gate — while roughly halving the DMC frame time
+# (the OffsetDiversity warp is ~70% of it, gather-issue-bound; see
+# PLAN.md cost model). Training keeps the exact warp (custom-VJP packed
+# path): the trained dynamics remain the reference semantics
+# (DCVC-DC/src/models/video_model.py:26-63).
+RD_GATED_TILE_MODE = "tile:16,2,median"
+
+
+def default_od_warp_mode() -> str:
+    """The OffsetDiversity warp mode inference harnesses should use:
+    the RD-gated row-tile approximation on TPU-class backends (where the
+    exact warp is gather-issue-bound), the exact warp on cpu/gpu (which
+    vectorize advanced-indexing gathers fine). Override per-run with
+    DCVC_TPU_OD_WARP or the CLIs' --od_warp flag."""
+    env = os.environ.get("DCVC_TPU_OD_WARP")
+    if env:
+        return env
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+        return "exact"
+    return RD_GATED_TILE_MODE
+
+
 def _tile_warp_batched(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int,
                        base_mode: str = "median"):
     """Batched row-tile warp core. im [M,H,W,C], flow [M,H,W,2].

@@ -233,3 +233,20 @@ def test_tile_warp_chunked_matches_unchunked():
     for chunk in (1, 2, 4):
         out = np.asarray(tile_warp(im, off, 16, 2, "median", chunk=chunk))
         np.testing.assert_allclose(out, full, atol=1e-6)
+
+
+def test_default_od_warp_mode_resolver(monkeypatch):
+    """Inference default: exact on cpu/gpu, the RD-gated tile mode on TPU
+    backends (RDNOTES.md gate), env override wins everywhere."""
+    from dcvc_tpu.ops.warp import RD_GATED_TILE_MODE, default_od_warp_mode
+
+    monkeypatch.delenv("DCVC_TPU_OD_WARP", raising=False)
+    assert jax.default_backend() == "cpu"  # conftest pins the CPU mesh
+    assert default_od_warp_mode() == "exact"
+    monkeypatch.setenv("DCVC_TPU_OD_WARP", "tile:32,2,median")
+    assert default_od_warp_mode() == "tile:32,2,median"
+    # the gated constant must parse as a tile mode OffsetDiversity accepts
+    assert RD_GATED_TILE_MODE.startswith("tile:")
+    monkeypatch.delenv("DCVC_TPU_OD_WARP", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert default_od_warp_mode() == RD_GATED_TILE_MODE

@@ -42,6 +42,11 @@ def parse_args():
                    choices=[0, 1],
                    help="420->444 model-input chroma upsample: 0 nearest "
                         "(reference default), 1 bilinear (RD cross-check)")
+    p.add_argument("--od_warp", default="auto",
+                   help="OffsetDiversity warp mode for dmc_dc: 'auto' = "
+                        "the RD-gated row-tile mode on TPU backends, exact "
+                        "on cpu/gpu (see RDNOTES.md); or 'exact' / "
+                        "'tile:T,R[,median|mean]' explicitly")
     return p.parse_args()
 
 
@@ -87,7 +92,14 @@ def main():
 
     p_rt = None
     if not args.force_intra:
-        _, _, p_rt = build(args.p_frame_model)
+        p_kwargs = {}
+        if args.p_frame_model == "dmc_dc":
+            from dcvc_tpu.ops.warp import default_od_warp_mode
+
+            p_kwargs["od_warp_mode"] = (default_od_warp_mode()
+                                        if args.od_warp == "auto"
+                                        else args.od_warp)
+        _, _, p_rt = build(args.p_frame_model, **p_kwargs)
         if args.model_path_p:
             from dcvc_tpu.utils.checkpoint import load_params
 
