@@ -1,0 +1,262 @@
+"""Pallas TPU block warp: DMA-fed approximate backward warp.
+
+Motivation (PLAN.md cost model, RDNOTES.md): every XLA gather formulation
+of the bilinear warp is capped by the TPU gather unit — ~17ns/slice issue
+rate, ~10-17 GB/s byte rate — two orders of magnitude under HBM bandwidth
+(~819 GB/s on v5e). The row-tile warp (ops/warp.py:tile_warp) halves the
+DMC frame time but still rides the gather unit. This kernel removes the
+gather unit from the path entirely:
+
+  * the image is read with real DMAs (HBM -> VMEM) at memory bandwidth,
+    one [C, BH+2Rv+2, BW+2Dh+2] window per (BH x BW) output block, whose
+    position is the block's rounded median flow ("base"), double-buffered
+    across grid steps;
+  * per-pixel offsets are resolved INSIDE VMEM as residuals from the
+    block base, clamped to a (-Dh..Dh) x (-Rv..Rv) window, via a
+    shift-select accumulation over the (2Rv+1) x (2Dh+1) integer tap
+    grid — each pass is a static VMEM slice + VPU FMA, and passes whose
+    tap offset no pixel in the block uses are skipped with a per-block
+    bitmask (smooth flow -> ~4-9 live passes).
+
+Approximation contract (mirrors tile_warp's): EXACT (equals
+ops/warp.flow_warp, i.e. the reference's grid_sample border/align_corners
+semantics, DCVC-DC/src/models/video_net.py:8-38) wherever every pixel's
+offset deviates from its block's base by less than (Dh, Rv); clamped to
+the window edge beyond. Block bases adapt per (BH x BW) block, so global
+/ smooth motion of ANY magnitude is exact; only intra-block deviation is
+windowed. `block_warp_ref` is the bit-identical pure-jnp definition used
+for tests and as the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
+    """Shared prep: pad to block multiples, per-block clamped base,
+    per-pixel tap indices/weights, per-block live-tap bitmasks.
+
+    Returns (src, apl, bpl, wy, wx, sy, sx, ma, mb, dims) where
+      src  [M, C, Hp, Wp]  channel-first edge-padded source (f32)
+      apl  [M, Hb, Wb] int32  vertical tap index in [1, 2Rv]
+      bpl  [M, Hb, Wb] int32  horizontal tap index in [1, 2Dh]
+      wy/wx [M, Hb, Wb] f32   bilinear fracs
+      sy/sx [M, nby, nbx] int32  window starts (padded coords)
+      ma/mb [M, nby, nbx] int32  live-tap bitmasks over a / b
+    """
+    M, H, W, C = im.shape
+    Hb, Wb = _ceil_to(H, BH), _ceil_to(W, BW)
+    if (Hb, Wb) != (H, W):
+        im = jnp.pad(im, ((0, 0), (0, Hb - H), (0, Wb - W), (0, 0)),
+                     mode="edge")
+        flow = jnp.pad(flow, ((0, 0), (0, Hb - H), (0, Wb - W), (0, 0)),
+                       mode="edge")
+    nby, nbx = Hb // BH, Wb // BW
+    BHD = BH + 2 * Rv + 2
+    KD = BW + 2 * Dh + 2
+    # Edge pad = tap reach (R+1) plus a `pad` margin: a window whose base
+    # points up to `pad` px outside the image still sits unclamped inside
+    # the padded array. Without the margin, ANY border block with nonzero
+    # outward base gets its window clamped, which re-centers every pixel's
+    # residual window and clamps pixels that were well inside +-R of the
+    # base (measured: 10% of pixels wrong on N(0,0.5) flow at the border).
+    # Beyond `pad`, windows clamp but their taps land in pure
+    # edge-replicate rows/cols, which border semantics make exact anyway.
+    Py, Px = Rv + 1 + pad, Dh + 1 + pad
+
+    fb = flow.reshape(M, nby, BH, nbx, BW, 2).transpose(0, 1, 3, 2, 4, 5)
+    fb = fb.reshape(M, nby, nbx, BH * BW, 2)
+    if base_mode == "mean":
+        base = jnp.round(jnp.mean(fb, axis=3))
+    else:
+        base = jnp.round(jnp.median(fb, axis=3))          # [M, nby, nbx, 2]
+
+    src = jnp.pad(im.transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (Py, Py), (Px, Px)), mode="edge")
+    Hp, Wp = Hb + 2 * Py, Wb + 2 * Px
+
+    i0 = (jnp.arange(nby) * BH)[None, :, None]
+    j0 = (jnp.arange(nbx) * BW)[None, None, :]
+    sy_raw = i0 + base[..., 1].astype(jnp.int32) + pad
+    sx_raw = j0 + base[..., 0].astype(jnp.int32) + pad
+    sy = jnp.clip(sy_raw, 0, Hp - BHD)
+    sx = jnp.clip(sx_raw, 0, Wp - KD)
+    eff_by = base[..., 1] - (sy_raw - sy).astype(base.dtype)
+    eff_bx = base[..., 0] - (sx_raw - sx).astype(base.dtype)
+
+    def per_pixel(eff, comp, R):
+        e = jnp.repeat(jnp.repeat(eff, BH, axis=1), BW, axis=2)
+        r = jnp.clip(flow[..., comp] - e, -R, R - 1e-4)
+        f = jnp.floor(r)
+        return (f.astype(jnp.int32) + R + 1), (r - f).astype(jnp.float32)
+
+    apl, wy = per_pixel(eff_by, 1, Rv)                    # apl in [1, 2Rv]
+    bpl, wx = per_pixel(eff_bx, 0, Dh)                    # bpl in [1, 2Dh]
+
+    def bitmask(pl_idx, R):
+        bits = (1 << pl_idx) | (1 << (pl_idx + 1))
+        bb = bits.reshape(M, nby, BH, nbx, BW)
+        if 2 * R + 1 >= 31:
+            return jnp.full((M, nby, nbx), -1, jnp.int32)
+        return jax.lax.reduce(bb, np.int32(0), jax.lax.bitwise_or, (2, 4))
+
+    ma = bitmask(apl, Rv)
+    mb = bitmask(bpl, Dh)
+    dims = dict(M=M, C=C, H=H, W=W, Hb=Hb, Wb=Wb, nby=nby, nbx=nbx,
+                BHD=BHD, KD=KD)
+    return src, apl, bpl, wy, wx, sy, sx, ma, mb, dims
+
+
+def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
+            apl_ref, bpl_ref, wy_ref, wx_ref, src_ref, out_ref,
+            scratch, sems):
+    m = pl.program_id(0)
+    bi = pl.program_id(1)
+    bj = pl.program_id(2)
+    nby = pl.num_programs(1)
+    nbx = pl.num_programs(2)
+    BHD = BH + 2 * Rv + 2
+    KD = BW + 2 * Dh + 2
+    g = (m * nby + bi) * nbx + bj
+    total = pl.num_programs(0) * nby * nbx
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def start_dma(mm, ii, jj, sl):
+        pltpu.make_async_copy(
+            src_ref.at[mm, :, pl.ds(sy_ref[mm, ii, jj], BHD),
+                       pl.ds(sx_ref[mm, ii, jj], KD)],
+            scratch.at[sl], sems.at[sl]).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(m, bi, bj, slot)
+
+    @pl.when(g + 1 < total)
+    def _():
+        g1 = g + 1
+        j1 = jax.lax.rem(g1, nbx)
+        t1 = jax.lax.div(g1, nbx)
+        i1 = jax.lax.rem(t1, nby)
+        m1 = jax.lax.div(t1, nby)
+        start_dma(m1, i1, j1, nslot)
+
+    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[m, bi, bj], BHD),
+                                     pl.ds(sx_ref[m, bi, bj], KD)],
+                          scratch.at[slot], sems.at[slot]).wait()
+
+    apl = apl_ref[0]
+    bpl = bpl_ref[0]
+    wy = wy_ref[0]
+    wx = wx_ref[0]
+    ma = ma_ref[m, bi, bj]
+    mb = mb_ref[m, bi, bj]
+    out_ref[0] = jnp.zeros((C, BH, BW), out_ref.dtype)
+    one = jnp.float32(1.0)
+    for a in range(1, 2 * Rv + 2):
+        wa = (jnp.where(apl == a, one - wy, 0.0)
+              + jnp.where(apl == a - 1, wy, 0.0))
+        for b in range(1, 2 * Dh + 2):
+            @pl.when(jnp.logical_and((ma >> a) & 1, (mb >> b) & 1) != 0)
+            def _(a=a, b=b, wa=wa):
+                wb = (jnp.where(bpl == b, one - wx, 0.0)
+                      + jnp.where(bpl == b - 1, wx, 0.0))
+                win = scratch[slot, :, a:a + BH, b:b + BW]
+                out_ref[0] += (wa * wb)[None] * win
+
+
+@functools.partial(jax.jit, static_argnames=("BH", "BW", "Dh", "Rv",
+                                             "base_mode", "pad",
+                                             "interpret"))
+def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
+               Rv: int = 2, BH: int = 8, BW: int = 512,
+               base_mode: str = "median", pad: int = 16,
+               interpret: bool = False) -> jnp.ndarray:
+    """Approximate backward warp of ``im`` [M,H,W,C] by ``flow`` [M,H,W,2]
+    (fx, fy in pixels), Pallas TPU kernel. See module docstring for the
+    approximation contract; ``block_warp_ref`` is the semantic oracle."""
+    M, H, W, C = im.shape
+    out_dtype = im.dtype
+    if im.dtype != jnp.float32:
+        im = im.astype(jnp.float32)
+    if flow.dtype != jnp.float32:
+        flow = flow.astype(jnp.float32)
+    src, apl, bpl, wy, wx, sy, sx, ma, mb, d = _prep(
+        im, flow, BH, BW, Dh, Rv, base_mode, pad)
+
+    grid = (d["M"], d["nby"], d["nbx"])
+    blk = lambda mi, bi, bj, *_: (mi, bi, bj)
+    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, C, BH, BW),
+                                   lambda mi, bi, bj, *_: (mi, 0, bi, bj),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, d["BHD"], d["KD"]), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((d["M"], C, d["Hb"], d["Wb"]),
+                                       jnp.float32),
+        interpret=interpret,
+    )(sy, sx, ma, mb, apl, bpl, wy, wx, src)
+    out = out.transpose(0, 2, 3, 1)[:, :H, :W]
+    return out.astype(out_dtype)
+
+
+def block_warp_ref(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
+                   Rv: int = 2, BH: int = 8, BW: int = 512,
+                   base_mode: str = "median", pad: int = 16) -> jnp.ndarray:
+    """Pure-jnp oracle with EXACTLY the kernel's semantics (same prep,
+    per-pixel 4-tap resolve by advanced indexing). Doubles as the
+    CPU/GPU fallback implementation."""
+    M, H, W, C = im.shape
+    out_dtype = im.dtype
+    if im.dtype != jnp.float32:
+        im = im.astype(jnp.float32)
+    if flow.dtype != jnp.float32:
+        flow = flow.astype(jnp.float32)
+    src, apl, bpl, wy, wx, sy, sx, _, _, d = _prep(
+        im, flow, BH, BW, Dh, Rv, base_mode, pad)
+    Hb, Wb, nby, nbx = d["Hb"], d["Wb"], d["nby"], d["nbx"]
+
+    syp = jnp.repeat(jnp.repeat(sy, BH, axis=1), BW, axis=2)
+    sxp = jnp.repeat(jnp.repeat(sx, BH, axis=1), BW, axis=2)
+    ii = jnp.arange(Hb)[None, :, None] % BH
+    jj = jnp.arange(Wb)[None, None, :] % BW
+    ya = syp + ii + apl      # floor tap row, padded coords
+    xb = sxp + jj + bpl      # floor tap col
+
+    mi = jnp.arange(M)[:, None, None]
+    tl = src[mi, :, ya, xb]                # [M, Hb, Wb, C]
+    tr = src[mi, :, ya, xb + 1]
+    bl = src[mi, :, ya + 1, xb]
+    br = src[mi, :, ya + 1, xb + 1]
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    top = tl * (1 - wxe) + tr * wxe
+    bot = bl * (1 - wxe) + br * wxe
+    out = top * (1 - wye) + bot * wye
+    return out[:, :H, :W].astype(out_dtype)
