@@ -156,6 +156,13 @@ class DMC(nn.Module):
     # DCVC_TPU_OD_WARP (see ops/warp.py:tile_warp)
     od_group_num: int = 16
     od_warp_mode: str | None = None
+    # motion-compensation warps (warpframe + context1/2/3 feature warps,
+    # reference video_model.py:200-214): same mode grammar as od_warp_mode
+    # (ops/warp.py:resolve_warp_fn). None -> exact. These flows are the
+    # DECODED motion field (smooth by construction), so the block warp's
+    # within-window-exact contract is a natural fit; RD-gate before
+    # defaulting (RDNOTES.md).
+    mc_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -306,15 +313,18 @@ class DMC(nn.Module):
         return self.feature_extractor(feature)
 
     def motion_compensation(self, dpb, mv, index):
-        warpframe = flow_warp(dpb["ref_frame"], mv)
+        from ..ops.warp import resolve_warp_fn
+
+        warp = resolve_warp_fn(self.mc_warp_mode or "exact")
+        warpframe = warp(dpb["ref_frame"], mv)
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
         ref_f1, ref_f2, ref_f3 = self.multi_scale_feature_extractor(dpb, index)
-        context1_init = flow_warp(ref_f1, mv)
+        context1_init = warp(ref_f1, mv)
         context1 = self.align(
             ref_f1, jnp.concatenate([context1_init, warpframe, mv], axis=-1), mv)
-        context2 = flow_warp(ref_f2, mv2)
-        context3 = flow_warp(ref_f3, mv3)
+        context2 = warp(ref_f2, mv2)
+        context3 = warp(ref_f3, mv3)
         context1, context2, context3 = self.context_fusion_net(
             context1, context2, context3)
         return context1, context2, context3, warpframe

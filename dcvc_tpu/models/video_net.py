@@ -22,7 +22,7 @@ from ..layers.blocks import (
     conv,
     leaky_relu,
 )
-from ..ops.warp import bilinear_up2, flow_warp, tile_warp
+from ..ops.warp import bilinear_up2, flow_warp, resolve_warp_fn
 
 
 class MEBasic(nn.Module):
@@ -110,15 +110,9 @@ class OffsetDiversity(nn.Module):
         import os
 
         mode = self.warp_mode or os.environ.get("DCVC_TPU_OD_WARP", "exact")
-        if mode.startswith("tile"):
-            # "tile" | "tile:T" | "tile:T,R" | "tile:T,R,mean|median"
-            t_r = mode.split(":", 1)[1].split(",") if ":" in mode else []
-            T = int(t_r[0]) if len(t_r) >= 1 and t_r[0] else 16
-            R = int(t_r[1]) if len(t_r) >= 2 else 2
-            base = t_r[2] if len(t_r) >= 3 else "median"
-            warp = lambda a, b: tile_warp(a, b, T, R, base)
-        else:
-            warp = flow_warp
+        # "exact" | "tile:T,R[,base]" | "block:Dh,Rv[,BH,BW[,base]]"
+        # (ops/warp.py:resolve_warp_fn)
+        warp = resolve_warp_fn(mode)
 
         # fold the G*O maps into the batch for one big vectorized warp
         xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * G * O, H, W, Cg)

@@ -62,6 +62,7 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
                      mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, Hb - H), (0, Wb - W), (0, 0)),
                        mode="edge")
+    assert flow.dtype == jnp.float32
     nby, nbx = Hb // BH, Wb // BW
     BHD = BH + 2 * Rv + 2
     KD = BW + 2 * Dh + 2
@@ -173,7 +174,7 @@ def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
                 wb = (jnp.where(bpl == b, one - wx, 0.0)
                       + jnp.where(bpl == b - 1, wx, 0.0))
                 win = scratch[slot, :, a:a + BH, b:b + BW]
-                out_ref[0] += (wa * wb)[None] * win
+                out_ref[0] += (wa * wb)[None] * win.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("BH", "BW", "Dh", "Rv",
@@ -187,8 +188,14 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
     (fx, fy in pixels), Pallas TPU kernel. See module docstring for the
     approximation contract; ``block_warp_ref`` is the semantic oracle."""
     M, H, W, C = im.shape
+    BH = min(BH, _ceil_to(H, 8))
+    BW = min(BW, _ceil_to(W, 128))
+    if jax.default_backend() == "cpu":
+        interpret = True  # no Mosaic lowering on CPU
     out_dtype = im.dtype
-    if im.dtype != jnp.float32:
+    # bf16 sources are DMA'd as-is (half the HBM bytes + VMEM); the
+    # resolve accumulates in f32 either way. Other dtypes go through f32.
+    if im.dtype not in (jnp.float32, jnp.bfloat16):
         im = im.astype(jnp.float32)
     if flow.dtype != jnp.float32:
         flow = flow.astype(jnp.float32)
@@ -214,7 +221,7 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
                                    lambda mi, bi, bj, *_: (mi, 0, bi, bj),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, C, d["BHD"], d["KD"]), jnp.float32),
+                pltpu.VMEM((2, C, d["BHD"], d["KD"]), src.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -233,6 +240,8 @@ def block_warp_ref(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
     per-pixel 4-tap resolve by advanced indexing). Doubles as the
     CPU/GPU fallback implementation."""
     M, H, W, C = im.shape
+    BH = min(BH, _ceil_to(H, 8))
+    BW = min(BW, _ceil_to(W, 128))
     out_dtype = im.dtype
     if im.dtype != jnp.float32:
         im = im.astype(jnp.float32)

@@ -234,6 +234,38 @@ def default_od_warp_mode() -> str:
     return RD_GATED_TILE_MODE
 
 
+def resolve_warp_fn(mode: str):
+    """Map a warp-mode string to a `(im, flow) -> warped` callable.
+
+    Modes: "exact" (flow_warp);
+    "tile[:T[,R[,mean|median]]]" — row-tile approximation (tile_warp);
+    "block[:Dh[,Rv[,BH[,BW[,mean|median]]]]]" — Pallas DMA block warp
+    (ops/block_warp.py; jnp oracle on cpu/gpu backends, where the Pallas
+    TPU lowering does not apply and the gather-unit bottleneck the kernel
+    exists to dodge is absent anyway).
+    """
+    if mode.startswith("tile"):
+        spec = mode.split(":", 1)[1].split(",") if ":" in mode else []
+        T = int(spec[0]) if len(spec) >= 1 and spec[0] else 16
+        R = int(spec[1]) if len(spec) >= 2 else 2
+        base = spec[2] if len(spec) >= 3 else "median"
+        return lambda a, b: tile_warp(a, b, T, R, base)
+    if mode.startswith("block"):
+        from dcvc_tpu.ops import block_warp as bw
+
+        spec = mode.split(":", 1)[1].split(",") if ":" in mode else []
+        Dh = int(spec[0]) if len(spec) >= 1 and spec[0] else 8
+        Rv = int(spec[1]) if len(spec) >= 2 else 2
+        BH = int(spec[2]) if len(spec) >= 3 else 8
+        BW = int(spec[3]) if len(spec) >= 4 else 512
+        base = spec[4] if len(spec) >= 5 else "median"
+        fn = (bw.block_warp_ref
+              if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+              else bw.block_warp)
+        return lambda a, b: fn(a, b, Dh, Rv, BH, BW, base)
+    return flow_warp
+
+
 def _tile_warp_batched(im: jnp.ndarray, flow: jnp.ndarray, T: int, R: int,
                        base_mode: str = "median"):
     """Batched row-tile warp core. im [M,H,W,C], flow [M,H,W,2].

@@ -90,3 +90,31 @@ def test_bf16_cast_path():
                          BH=8, BW=16)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), atol=1e-2)
+
+
+def test_dmc_mc_warp_mode_wiring():
+    """DMC forward with mc_warp_mode + od_warp_mode block modes runs and
+    stays close to the exact-warp forward (random-init flows are tiny, so
+    block bases are ~0 and the approximation is in its exact regime)."""
+    import jax
+    from dcvc_tpu.models.video_dc import DMC
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                    jnp.float32)
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_mv_feature": None,
+           "ref_y": None, "ref_mv_y": None}
+    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+
+    outs = {}
+    for name, kw in [("exact", {}),
+                     ("block", dict(od_warp_mode="block:4,2,8,128",
+                                    mc_warp_mode="block:4,2,8,128"))]:
+        m = DMC(**kw)
+        params = m.init(jax.random.PRNGKey(0), x, dpb, qs, 0)
+        outs[name] = m.apply(params, x, dpb, qs, 1)
+    for k in ("bit", "bpp"):
+        np.testing.assert_allclose(np.asarray(outs["block"][k]),
+                                   np.asarray(outs["exact"][k]), rtol=5e-3)
+    d = np.abs(np.asarray(outs["block"]["dpb"]["ref_frame"]
+                          - outs["exact"]["dpb"]["ref_frame"]))
+    assert d.max() < 5e-3, d.max()

@@ -119,7 +119,7 @@ def clamp_fraction(off, T, R, base_mode):
 def run_stats(args):
     import jax.numpy as jnp
 
-    from dcvc_tpu.ops.warp import flow_warp, tile_warp
+    from dcvc_tpu.ops.warp import flow_warp, resolve_warp_fn
 
     rng = np.random.default_rng(0)
     H, W = args.height, args.width
@@ -129,28 +129,39 @@ def run_stats(args):
         .astype(np.float32)
     tex = (tex - tex.min()) / (tex.max() - tex.min())
 
+    # tile grid (with per-(T,R) mean/median), plus any modes passed via
+    # --tile_modes (e.g. "block:8,2+block:16,2" for the Pallas block warp)
+    modes = [f"tile:{T},{R},{b}"
+             for T, R in [(16, 1), (16, 2), (32, 1), (32, 2), (64, 1)]
+             for b in ("mean", "median")]
+    modes += [m for m in args.tile_modes.split("+") if m not in modes]
+
     rows = []
     for fam, make in FAMILIES.items():
         maps = od_offsets(make(H, W, rng), rng, n_maps=args.maps)
-        for T, R in [(16, 1), (16, 2), (32, 1), (32, 2), (64, 1)]:
-            for base_mode in ("mean", "median"):
-                cf = np.mean([clamp_fraction(m, T, R, base_mode)
-                              for m in maps])
-                errs, psnrs = [], []
-                for m in maps:
-                    fl = jnp.asarray(m)[None]
-                    im = jnp.asarray(tex)[None]
-                    exact = np.asarray(flow_warp(im, fl))
-                    approx = np.asarray(tile_warp(im, fl, T, R, base_mode))
-                    err = np.abs(exact - approx)
-                    errs.append(err.max())
-                    mse = np.mean((exact - approx) ** 2)
-                    psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
-                rows.append({
-                    "family": fam, "T": T, "R": R, "base": base_mode,
-                    "clamp_frac": round(cf, 5),
-                    "max_err": round(float(np.max(errs)), 4),
-                    "psnr_vs_exact": round(float(np.mean(psnrs)), 2)})
+        for mode in modes:
+            warp = resolve_warp_fn(mode)
+            if mode.startswith("tile"):
+                spec = mode.split(":")[1].split(",")
+                cf = np.mean([clamp_fraction(m, int(spec[0]), int(spec[1]),
+                                             spec[2]) for m in maps])
+            else:
+                cf = None
+            errs, psnrs = [], []
+            for m in maps:
+                fl = jnp.asarray(m)[None]
+                im = jnp.asarray(tex)[None]
+                exact = np.asarray(flow_warp(im, fl))
+                approx = np.asarray(warp(im, fl))
+                err = np.abs(exact - approx)
+                errs.append(err.max())
+                mse = np.mean((exact - approx) ** 2)
+                psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            rows.append({
+                "family": fam, "mode": mode,
+                "clamp_frac": None if cf is None else round(cf, 5),
+                "max_err": round(float(np.max(errs)), 4),
+                "psnr_vs_exact": round(float(np.mean(psnrs)), 2)})
     for r in rows:
         print(json.dumps(r))
     return rows
@@ -188,7 +199,13 @@ def run_dmc(args):
     rng = np.random.default_rng(1)
 
     def build(mode):
-        module = DMC(od_warp_mode=mode)
+        # "mc<spec>" applies <spec> to BOTH OffsetDiversity and the
+        # motion-compensation warps (warpframe + context1/2/3);
+        # bare "<spec>" to OffsetDiversity only.
+        if mode.startswith("mc"):
+            module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:])
+        else:
+            module = DMC(od_warp_mode=mode)
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
                 "ref_y": None, "ref_mv_y": None}
@@ -273,7 +290,11 @@ def run_bench(args):
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
 
     for mode in ["exact"] + args.tile_modes.split("+"):
-        module = DMC(od_warp_mode=mode)
+      try:
+        if mode.startswith("mc"):
+            module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:])
+        else:
+            module = DMC(od_warp_mode=mode)
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
                 "ref_y": None, "ref_mv_y": None}
@@ -306,6 +327,9 @@ def run_bench(args):
         dt_s = (time.time() - t0) / n
         print(json.dumps({"mode": mode, "ms_per_frame": round(dt_s * 1e3, 1),
                           "fps": round(1 / dt_s, 3)}), flush=True)
+      except Exception as e:  # noqa: BLE001 — one mode failing (e.g. a
+        # Mosaic lowering rejection on a new kernel) must not kill the A/B
+        print(json.dumps({"mode": mode, "error": repr(e)[:500]}), flush=True)
 
 
 def main():

@@ -46,7 +46,11 @@ def parse_args():
                    help="OffsetDiversity warp mode for dmc_dc: 'auto' = "
                         "the RD-gated row-tile mode on TPU backends, exact "
                         "on cpu/gpu (see RDNOTES.md); or 'exact' / "
-                        "'tile:T,R[,median|mean]' explicitly")
+                        "'tile:T,R[,median|mean]' / "
+                        "'block:Dh,Rv[,BH,BW]' explicitly")
+    p.add_argument("--mc_warp", default="exact",
+                   help="dmc_dc motion-compensation warp mode (warpframe + "
+                        "context warps): same grammar as --od_warp")
     return p.parse_args()
 
 
@@ -99,6 +103,8 @@ def main():
             p_kwargs["od_warp_mode"] = (default_od_warp_mode()
                                         if args.od_warp == "auto"
                                         else args.od_warp)
+            if args.mc_warp != "exact":
+                p_kwargs["mc_warp_mode"] = args.mc_warp
         _, _, p_rt = build(args.p_frame_model, **p_kwargs)
         if args.model_path_p:
             from dcvc_tpu.utils.checkpoint import load_params
