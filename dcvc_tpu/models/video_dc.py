@@ -163,13 +163,16 @@ class DMC(nn.Module):
     # within-window-exact contract is a natural fit; RD-gate before
     # defaulting (RDNOTES.md).
     mc_warp_mode: str | None = None
+    # SPyNet pyramid-warp mode (video_net.py:MESpynet); None -> exact
+    me_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
         c1, c16 = G_CH["1x"], G_CH["16x"]
         ch_mv = 64
         self.channel_mv = ch_mv
-        self.optic_flow = MESpynet(dtype=self.dtype)
+        self.optic_flow = MESpynet(me_warp_mode=self.me_warp_mode,
+                                   dtype=self.dtype)
         self.align = OffsetDiversity(in_channel=c1,
                                      group_num=self.od_group_num,
                                      warp_chunks=self.warp_chunks,

@@ -107,6 +107,9 @@ class DCVCNet(nn.Module):
     channel_mv: int = 128
     channel_N: int = 64
     channel_M: int = 96
+    # motion-compensation warp mode (ops/warp.py:resolve_warp_fn);
+    # None -> exact. See RDNOTES.md §3b for the RD gate.
+    mc_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -183,8 +186,10 @@ class DCVCNet(nn.Module):
         return self.mv_refine_convs[-1](x) + mv
 
     def motion_compensation(self, ref, mv):
+        from ..ops.warp import resolve_warp_fn
+
         feat = self.feature_extract_res(self.feature_extract_conv(ref))
-        pred = flow_warp(feat, mv)
+        pred = resolve_warp_fn(self.mc_warp_mode or "exact")(feat, mv)
         return self.context_refine_conv(self.context_refine_res(pred))
 
     def contextual_encoder(self, x, context):

@@ -128,6 +128,10 @@ class DMCHem(nn.Module):
     channel_mv: int = 64
     channel_N: int = 64
     channel_M: int = 96
+    # motion-compensation warp mode ("exact" | "tile:..." | "block:...",
+    # ops/warp.py:resolve_warp_fn); None -> exact. RD-gated on the DC
+    # generation (RDNOTES.md §3b) — same smooth decoded-flow regime here.
+    mc_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -191,13 +195,16 @@ class DMCHem(nn.Module):
         return self.feature_extractor(feature)
 
     def motion_compensation(self, dpb, mv):
-        warpframe = flow_warp(dpb["ref_frame"], mv)
+        from ..ops.warp import resolve_warp_fn
+
+        warp = resolve_warp_fn(self.mc_warp_mode or "exact")
+        warpframe = warp(dpb["ref_frame"], mv)
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb)
-        context1 = flow_warp(f1, mv)
-        context2 = flow_warp(f2, mv2)
-        context3 = flow_warp(f3, mv3)
+        context1 = warp(f1, mv)
+        context2 = warp(f2, mv2)
+        context3 = warp(f3, mv3)
         return (*self.context_fusion_net(context1, context2, context3), warpframe)
 
     def mv_prior(self, mv_z_hat, ref_mv_y, mv_y_shape):

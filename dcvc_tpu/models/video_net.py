@@ -41,10 +41,18 @@ class MESpynet(nn.Module):
     """4-level coarse-to-fine optical flow (im1 = current, im2 = reference)."""
 
     levels: int = 4
+    # pyramid-warp mode (ops/warp.py:resolve_warp_fn); None -> exact.
+    # The warped operand feeds the flow residual predictor, so an
+    # approximate warp perturbs the ESTIMATED flow rather than the
+    # reconstruction directly — gate via od_warp_study dmc "all<spec>".
+    me_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, im1, im2):
+        from ..ops.warp import resolve_warp_fn
+
+        warp = resolve_warp_fn(self.me_warp_mode or "exact")
         im1_list = [im1]
         im2_list = [im2]
         for _ in range(self.levels - 1):
@@ -57,7 +65,7 @@ class MESpynet(nn.Module):
             flow_up = bilinear_up2(flow) * 2.0
             idx = self.levels - 1 - level
             inp = jnp.concatenate(
-                [im1_list[idx], flow_warp(im2_list[idx], flow_up), flow_up],
+                [im1_list[idx], warp(im2_list[idx], flow_up), flow_up],
                 axis=-1)
             flow = flow_up + MEBasic(name=f"basic{level}", dtype=self.dtype)(inp)
         return flow

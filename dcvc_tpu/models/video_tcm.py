@@ -212,6 +212,9 @@ class DMCTcm(nn.Module):
     channel_mv: int = 128
     channel_N: int = 64
     channel_M: int = 96
+    # motion-compensation warp mode (ops/warp.py:resolve_warp_fn);
+    # None -> exact. See RDNOTES.md §3b for the RD gate.
+    mc_warp_mode: str | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -250,13 +253,16 @@ class DMCTcm(nn.Module):
         return self.feature_extractor(feature)
 
     def motion_compensation(self, ref_frame, ref_feature, mv):
-        warpframe = flow_warp(ref_frame, mv)
+        from ..ops.warp import resolve_warp_fn
+
+        warp = resolve_warp_fn(self.mc_warp_mode or "exact")
+        warpframe = warp(ref_frame, mv)
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
         f1, f2, f3 = self.multi_scale_feature_extractor(ref_frame, ref_feature)
-        c1 = flow_warp(f1, mv)
-        c2 = flow_warp(f2, mv2)
-        c3 = flow_warp(f3, mv3)
+        c1 = warp(f1, mv)
+        c2 = warp(f2, mv2)
+        c3 = warp(f3, mv3)
         return (*self.context_fusion_net(c1, c2, c3), warpframe)
 
     def y_gaussian_params(self, z_hat, c1, c2, c3):

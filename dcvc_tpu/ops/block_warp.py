@@ -77,11 +77,20 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
     Py, Px = Rv + 1 + pad, Dh + 1 + pad
 
     fb = flow.reshape(M, nby, BH, nbx, BW, 2).transpose(0, 1, 3, 2, 4, 5)
-    fb = fb.reshape(M, nby, nbx, BH * BW, 2)
     if base_mode == "mean":
-        base = jnp.round(jnp.mean(fb, axis=3))
+        base = jnp.round(jnp.mean(fb, axis=(3, 4)))
+    elif base_mode == "median4":
+        # median over a 4x4-strided subsample: 16x less sort work than the
+        # full median (XLA median = sort; BH*BW elements per block adds up
+        # to ~134M sorted elements per 1080p OD warp) at near-identical
+        # robustness — the base only needs to land within +-(Dh,Rv)/2 of
+        # the majority motion, and a 1/16 subsample's median does.
+        sub = fb[:, :, :, ::4, ::4, :]
+        sub = sub.reshape(*sub.shape[:3], -1, 2)
+        base = jnp.round(jnp.median(sub, axis=3))
     else:
-        base = jnp.round(jnp.median(fb, axis=3))          # [M, nby, nbx, 2]
+        base = jnp.round(jnp.median(
+            fb.reshape(M, nby, nbx, BH * BW, 2), axis=3))  # [M, nby, nbx, 2]
 
     src = jnp.pad(im.transpose(0, 3, 1, 2),
                   ((0, 0), (0, 0), (Py, Py), (Px, Px)), mode="edge")

@@ -38,8 +38,10 @@ def main():
     p.add_argument("--ch", type=int, default=3)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--small-only", action="store_true")
-    p.add_argument("--modes", default="8,2+4,4,64,128+6,4,32,128",
-                   help="block Dh,Rv[,BH,BW] list, '+'-separated")
+    p.add_argument("--modes",
+                   default="8,2+4,4,64,128+6,4,32,128"
+                           "+4,4,64,128,median4+4,4,64,128,mean",
+                   help="block Dh,Rv[,BH,BW[,base]] list, '+'-separated")
     args = p.parse_args()
 
     from dcvc_tpu.ops.block_warp import block_warp, block_warp_ref
@@ -96,13 +98,15 @@ def main():
     bench("tile:16,2", jax.jit(lambda a, b: tile_warp(a, b, 16, 2)))
     bench("tile:32,1", jax.jit(lambda a, b: tile_warp(a, b, 32, 1)))
     for spec in args.modes.split("+"):
-        v = [int(s) for s in spec.split(",")]
+        parts = spec.split(",")
+        base = parts[4] if len(parts) > 4 else "median"
+        v = [int(s) for s in parts[:4]]
         dh, rv = v[0], v[1]
         bh = v[2] if len(v) > 2 else 8
         bw = v[3] if len(v) > 3 else 512
         bench(f"block:{spec}",
-              lambda a, b, dh=dh, rv=rv, bh=bh, bw=bw:
-              block_warp(a, b, dh, rv, bh, bw))
+              lambda a, b, dh=dh, rv=rv, bh=bh, bw=bw, base=base:
+              block_warp(a, b, dh, rv, bh, bw, base))
 
 
 if __name__ == "__main__":

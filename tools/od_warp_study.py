@@ -199,10 +199,13 @@ def run_dmc(args):
     rng = np.random.default_rng(1)
 
     def build(mode):
-        # "mc<spec>" applies <spec> to BOTH OffsetDiversity and the
-        # motion-compensation warps (warpframe + context1/2/3);
-        # bare "<spec>" to OffsetDiversity only.
-        if mode.startswith("mc"):
+        # "mc<spec>" applies <spec> to OffsetDiversity + the motion-
+        # compensation warps (warpframe + context1/2/3); "all<spec>" also
+        # to the SPyNet pyramid warps; bare "<spec>" to OD only.
+        if mode.startswith("all"):
+            module = DMC(od_warp_mode=mode[3:], mc_warp_mode=mode[3:],
+                         me_warp_mode=mode[3:])
+        elif mode.startswith("mc"):
             module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:])
         else:
             module = DMC(od_warp_mode=mode)
@@ -291,7 +294,10 @@ def run_bench(args):
 
     for mode in ["exact"] + args.tile_modes.split("+"):
       try:
-        if mode.startswith("mc"):
+        if mode.startswith("all"):
+            module = DMC(od_warp_mode=mode[3:], mc_warp_mode=mode[3:],
+                         me_warp_mode=mode[3:])
+        elif mode.startswith("mc"):
             module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:])
         else:
             module = DMC(od_warp_mode=mode)

@@ -24,7 +24,7 @@ print('claimed:', float(jnp.ones((8,8)).sum()))" >> "$LOG" 2>&1; then
     echo "=== 2. in-model 1080p A/B ===" >> "$LOG"
     timeout 7200 python tools/od_warp_study.py bench --height 1088 \
       --width 1920 --bf16 \
-      --tile_modes "tile:16,2+tile:32,2+block:4,4,64,128+block:6,4,32,128+block:8,2+mcblock:4,4,64,128" \
+      --tile_modes "tile:16,2+block:4,4,64,128+block:6,4,32,128+mcblock:4,4,64,128+allblock:4,4,64,128" \
       >> "$LOG" 2>&1
     echo "=== 3. bench.py ===" >> "$LOG"
     timeout 7200 python bench.py >> "$LOG" 2>&1

@@ -103,8 +103,10 @@ def main():
             p_kwargs["od_warp_mode"] = (default_od_warp_mode()
                                         if args.od_warp == "auto"
                                         else args.od_warp)
-            if args.mc_warp != "exact":
-                p_kwargs["mc_warp_mode"] = args.mc_warp
+        if (args.mc_warp != "exact"
+                and args.p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
+                                           "dcvc_gen1")):
+            p_kwargs["mc_warp_mode"] = args.mc_warp
         _, _, p_rt = build(args.p_frame_model, **p_kwargs)
         if args.model_path_p:
             from dcvc_tpu.utils.checkpoint import load_params
