@@ -59,10 +59,11 @@ def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
     raise RuntimeError("accelerator unavailable")
 
 
-def _build(warp_mode):
+def _build(warp_mode, mc_warp_mode=None, me_warp_mode=None):
     # bf16 compute (f32 params): the TPU-idiomatic inference dtype; f32
     # activations at 1080p exceed single-chip HBM in the grouped warp
-    module = DMC(dtype=jnp.bfloat16, od_warp_mode=warp_mode)
+    module = DMC(dtype=jnp.bfloat16, od_warp_mode=warp_mode,
+                 mc_warp_mode=mc_warp_mode, me_warp_mode=me_warp_mode)
     qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     dpb_init = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
@@ -199,6 +200,18 @@ def main():
             bench_estimated(module_e, params_e, qs_e, H, W, n_iter=4), 3)
     except Exception as e:  # noqa: BLE001
         extra["est_fps_exact_warp"] = f"failed: {e}"
+    # Pallas block-warp candidate on ALL warp sites (RD-gated with more
+    # margin than the tile modes, RDNOTES.md §3b) — recorded so the BENCH
+    # artifact carries the A/B even before it becomes the default.
+    blk = os.environ.get("DCVC_TPU_BENCH_BLOCK", "block:4,4,64,128,median4")
+    if blk and blk != TILE_MODE:
+        try:
+            module_b, params_b, qs_b = _build(blk, blk, blk)
+            extra["est_fps_allblock"] = round(
+                bench_estimated(module_b, params_b, qs_b, H, W, n_iter=4), 3)
+            extra["allblock_mode"] = blk
+        except Exception as e:  # noqa: BLE001
+            extra["est_fps_allblock"] = f"failed: {e}"
     try:
         extra.update(bench_real_coding(module, params, H, W))
     except Exception as e:  # noqa: BLE001

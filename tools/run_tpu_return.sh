@@ -28,6 +28,8 @@ print('claimed:', float(jnp.ones((8,8)).sum()))" >> "$LOG" 2>&1; then
       >> "$LOG" 2>&1
     echo "=== 3. bench.py ===" >> "$LOG"
     timeout 7200 python bench.py >> "$LOG" 2>&1
+    echo "=== 4. train-step timing (B=2,4 remat, VERDICT #8) ===" >> "$LOG"
+    timeout 5400 python tools/diag_trainstep.py >> "$LOG" 2>&1
     echo "=== watcher done $(date -u +%H:%M:%S) ===" >> "$LOG"
     exit 0
   fi
