@@ -26,6 +26,11 @@ the window edge beyond. Block bases adapt per (BH x BW) block, so global
 / smooth motion of ANY magnitude is exact; only intra-block deviation is
 windowed. `block_warp_ref` is the bit-identical pure-jnp definition used
 for tests and as the CPU fallback.
+
+Scope: single-chip inference. The pallas_call is not GSPMD-partitionable,
+so spatially-sharded multi-chip inference (parallel/mesh tile axis) should
+use the tile or exact modes (sharded parity tested in
+tests/test_sharding_dmc.py); training always uses the exact warp.
 """
 
 from __future__ import annotations

@@ -106,3 +106,28 @@ def test_dmc_train_grad_sharded_matches_unsharded(dmc):
     # the gradient magnitude (f32 accumulation-order differences only)
     denom = np.linalg.norm(ref_flat) + 1e-12
     assert np.linalg.norm(out_flat - ref_flat) / denom < 1e-3
+
+
+def test_dmc_forward_sharded_tile_warp_mode(dmc):
+    """The TPU inference DEFAULT is the row-tile warp
+    (ops/warp.py:default_od_warp_mode) — its CLIP-mode window gathers must
+    survive GSPMD (data x tile) spatial sharding too, not just the exact
+    warp. Sharded vs unsharded at f32 tolerance with the tile mode forced.
+    """
+    _, params = dmc
+    module = DMC(od_warp_mode="tile:16,2,median")
+    mesh = make_mesh(8, tile=4)
+    x, dpb, qs = _inputs()
+
+    def fwd(p, x, dpb, qs):
+        out = module.apply(p, x, dpb, qs, 1)
+        return out["dpb"]["ref_frame"], out["bpp"]
+
+    fwd = jax.jit(fwd)
+    ref_frame, ref_bpp = jax.tree.map(np.asarray, fwd(params, x, dpb, qs))
+
+    x_s, dpb_s, qs_s, p_s = _shard(mesh, x, dpb, qs, params)
+    out_frame, out_bpp = jax.tree.map(np.asarray, fwd(p_s, x_s, dpb_s, qs_s))
+
+    np.testing.assert_allclose(out_frame, ref_frame, atol=3e-5)
+    np.testing.assert_allclose(out_bpp, ref_bpp, rtol=2e-4)

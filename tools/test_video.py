@@ -49,8 +49,12 @@ def parse_args():
                         "'tile:T,R[,median|mean]' / "
                         "'block:Dh,Rv[,BH,BW]' explicitly")
     p.add_argument("--mc_warp", default="exact",
-                   help="dmc_dc motion-compensation warp mode (warpframe + "
-                        "context warps): same grammar as --od_warp")
+                   help="motion-compensation warp mode (warpframe + "
+                        "context warps, dmc_dc/hem/tcm/gen1): same grammar "
+                        "as --od_warp")
+    p.add_argument("--me_warp", default="exact",
+                   help="SPyNet pyramid warp mode (dmc_dc): same grammar "
+                        "as --od_warp")
     return p.parse_args()
 
 
@@ -103,6 +107,8 @@ def main():
             p_kwargs["od_warp_mode"] = (default_od_warp_mode()
                                         if args.od_warp == "auto"
                                         else args.od_warp)
+            if args.me_warp != "exact":
+                p_kwargs["me_warp_mode"] = args.me_warp
         if (args.mc_warp != "exact"
                 and args.p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
                                            "dcvc_gen1")):
