@@ -102,10 +102,13 @@ def bench_estimated(module, params, qs, H, W, n_iter=8):
 
 def bench_real_coding(module, params, H, W, n_iter=3):
     """write_stream path: actual rANS bitstreams, enc/dec timed separately
-    (reference brackets: video_model.py:526-540 + test_video.py:224-227)."""
+    (reference brackets: video_model.py:526-540 + test_video.py:224-227).
+    stream_part=3 + ec_thread are the same protocol-legal knobs the reference
+    CLI exposes (test_video.py:29-31); on the 1-vCPU bench host the 3-part
+    stream rides the interleaved single-thread rANS decode (~1.25x)."""
     from dcvc_tpu.models.runtime import DmcRuntime
 
-    rt = DmcRuntime(module, params)
+    rt = DmcRuntime(module, params, ec_thread=True, stream_part=3)
     rt.update(force=True)
     frame = jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3),
                                jnp.float32)
