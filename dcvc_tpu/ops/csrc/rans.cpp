@@ -34,23 +34,44 @@ constexpr uint64_t kRansL = 1ull << 31;         // lower renormalisation bound
 constexpr uint32_t kBypassBits = 4;             // bypass chunk width
 constexpr uint32_t kMaxBypass = (1u << kBypassBits) - 1;
 
-struct BufferedSym {
-  uint16_t start;
-  uint16_t range;
-  bool bypass;
+// Precomputed encoder symbol (ryg_rans rans64.h construction, public
+// domain): division by freq done exactly with a 128-bit multiply-high by a
+// ceiling reciprocal (Alverson, "Integer division using reciprocals") —
+// x/f == mulhi(x, rcp_freq) >> rcp_shift for every 64-bit x. Removes the
+// per-symbol u64 divide from the flush loop (~2x flush).
+struct EncSym {
+  uint64_t rcp_freq;
+  uint32_t bias;       // start (start + 2^16 - 1 in the freq<2 special case)
+  uint32_t cmpl_freq;  // 2^16 - freq
+  uint16_t freq;       // kept for the renormalisation bound
+  uint8_t rcp_shift;
 };
 
-// ---- 64-bit rANS primitives (state in [L, L*2^32)) ----
-
-inline void enc_put(uint64_t* x, uint32_t** pptr, uint32_t start, uint32_t freq) {
-  uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
-  if (*x >= x_max) {
-    *pptr -= 1;
-    **pptr = static_cast<uint32_t>(*x);
-    *x >>= 32;
+inline void enc_sym_init(EncSym* s, uint32_t start, uint32_t freq) {
+  s->freq = static_cast<uint16_t>(freq);
+  s->cmpl_freq = (1u << kPrecision) - freq;
+  if (freq < 2) {
+    // freq=1: q = mulhi(x, 2^64-1) = x-1 for x >= 1; bias folds the +1 back
+    s->rcp_freq = ~0ull;
+    s->rcp_shift = 0;
+    s->bias = start + (1u << kPrecision) - 1;
+  } else {
+    uint32_t shift = 0;
+    while (freq > (1u << shift)) shift++;
+    s->rcp_freq = static_cast<uint64_t>(
+        ((static_cast<__uint128_t>(1) << (shift + 63)) + freq - 1) / freq);
+    s->rcp_shift = static_cast<uint8_t>(shift - 1);
+    s->bias = start;
   }
-  *x = ((*x / freq) << kPrecision) + (*x % freq) + start;
 }
+
+// Buffered coding decision: 4 bytes per symbol. Bit 31 set => bypass entry
+// (low bits carry the raw chunk value); otherwise an index into the
+// per-encoder EncSym arena (small, cache-resident — the buffer itself stays
+// compact so the flush replay streams at memory speed).
+constexpr uint32_t kBypassFlag = 1u << 31;
+
+// ---- 64-bit rANS primitives (state in [L, L*2^32)) ----
 
 inline void enc_put_bits(uint64_t* x, uint32_t** pptr, uint32_t val, uint32_t nbits) {
   uint32_t freq = 1u << (kPrecision - nbits);
@@ -100,21 +121,43 @@ inline uint32_t dec_get_bits(uint64_t* x, uint32_t** pptr, uint32_t nbits) {
 // ---- single-stream encoder/decoder ----
 
 struct StreamEncoder {
-  std::vector<BufferedSym> syms;
+  std::vector<uint32_t> syms;   // buffered decisions, 4 B/symbol
+  std::vector<EncSym> arena;    // precomputed rows, appended per encode call
+  std::vector<int32_t> row_start;
+  std::vector<uint8_t> row_built;
   std::vector<uint8_t> stream;
 
-  void reset() { syms.clear(); stream.clear(); }
+  void reset() {
+    syms.clear();
+    arena.clear();
+    stream.clear();
+  }
 
-  // Buffer (start, range, bypass) triples; flush() replays them in reverse.
+  // Buffer precomputed coding decisions; flush() replays them in reverse.
+  // EncSym rows are (re)built per call on first use — the CDF table may
+  // differ between encode calls feeding one flush, so rows are appended to
+  // the arena rather than keyed globally.
   void encode(const int16_t* symbols, const int16_t* indexes, int64_t n,
-              const int32_t* cdfs, int64_t cdf_stride,
+              const int32_t* cdfs, int64_t cdf_num, int64_t cdf_stride,
               const int32_t* cdf_sizes, const int32_t* offsets) {
     syms.reserve(syms.size() + static_cast<size_t>(n) * 3 / 2);
+    row_start.assign(static_cast<size_t>(cdf_num), 0);
+    row_built.assign(static_cast<size_t>(cdf_num), 0);
     for (int64_t i = 0; i < n; ++i) {
       const int32_t cdf_idx = indexes[i];
       if (cdf_idx < 0) continue;  // index < 0 means "skip" (known value)
-      const int32_t* cdf = cdfs + cdf_idx * cdf_stride;
       const int32_t max_value = cdf_sizes[cdf_idx] - 2;
+      if (!row_built[cdf_idx]) {
+        const int32_t* cdf = cdfs + cdf_idx * cdf_stride;
+        row_start[cdf_idx] = static_cast<int32_t>(arena.size());
+        arena.resize(arena.size() + static_cast<size_t>(max_value) + 1);
+        EncSym* row = arena.data() + row_start[cdf_idx];
+        for (int32_t s = 0; s <= max_value; ++s) {
+          enc_sym_init(row + s, static_cast<uint32_t>(cdf[s]),
+                       static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+        }
+        row_built[cdf_idx] = 1;
+      }
       int32_t value = symbols[i] - offsets[cdf_idx];
 
       uint32_t raw_val = 0;
@@ -126,9 +169,7 @@ struct StreamEncoder {
         value = max_value;
       }
 
-      syms.push_back({static_cast<uint16_t>(cdf[value]),
-                      static_cast<uint16_t>(cdf[value + 1] - cdf[value]),
-                      false});
+      syms.push_back(static_cast<uint32_t>(row_start[cdf_idx] + value));
 
       if (value == max_value) {
         // escape: emit bypass chunk count, then the raw value in 4-bit chunks
@@ -137,14 +178,13 @@ struct StreamEncoder {
 
         int32_t v = n_bypass;
         while (v >= static_cast<int32_t>(kMaxBypass)) {
-          syms.push_back({static_cast<uint16_t>(kMaxBypass),
-                          static_cast<uint16_t>(kMaxBypass + 1), true});
+          syms.push_back(kBypassFlag | kMaxBypass);
           v -= kMaxBypass;
         }
-        syms.push_back({static_cast<uint16_t>(v), static_cast<uint16_t>(v + 1), true});
+        syms.push_back(kBypassFlag | static_cast<uint32_t>(v));
         for (int32_t j = 0; j < n_bypass; ++j) {
-          uint16_t chunk = static_cast<uint16_t>((raw_val >> (j * kBypassBits)) & kMaxBypass);
-          syms.push_back({chunk, static_cast<uint16_t>(chunk + 1), true});
+          syms.push_back(kBypassFlag |
+                         ((raw_val >> (j * kBypassBits)) & kMaxBypass));
         }
       }
     }
@@ -154,11 +194,25 @@ struct StreamEncoder {
     uint64_t x = kRansL;
     std::vector<uint32_t> out(syms.size() + 2);
     uint32_t* ptr = out.data() + out.size();
+    const EncSym* ar = arena.data();
     for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-      if (!it->bypass) {
-        enc_put(&x, &ptr, it->start, it->range);
+      const uint32_t packed = *it;
+      if (!(packed & kBypassFlag)) {
+        // renormalise, then x' = (x/f << 16) + x%f + start via the
+        // reciprocal: q = x/f exactly, x' = x + q*(2^16 - f) + bias
+        const EncSym& es = ar[packed];
+        const uint64_t x_max =
+            ((kRansL >> kPrecision) << 32) * static_cast<uint64_t>(es.freq);
+        if (x >= x_max) {
+          ptr -= 1;
+          *ptr = static_cast<uint32_t>(x);
+          x >>= 32;
+        }
+        const uint64_t q = static_cast<uint64_t>(
+            (static_cast<__uint128_t>(x) * es.rcp_freq) >> 64) >> es.rcp_shift;
+        x = x + es.bias + q * es.cmpl_freq;
       } else {
-        enc_put_bits(&x, &ptr, it->start, kBypassBits);
+        enc_put_bits(&x, &ptr, packed & kMaxBypass, kBypassBits);
       }
     }
     enc_flush(x, &ptr);
@@ -167,6 +221,7 @@ struct StreamEncoder {
     stream.resize(nbytes);
     std::memcpy(stream.data(), ptr, nbytes);
     syms.clear();
+    arena.clear();
   }
 };
 
@@ -273,15 +328,15 @@ struct Encoder {
   }
 
   void encode(const int16_t* symbols, const int16_t* indexes, int64_t n,
-              const int32_t* cdfs, int64_t cdf_stride,
+              const int32_t* cdfs, int64_t cdf_num, int64_t cdf_stride,
               const int32_t* cdf_sizes, const int32_t* offsets) {
     const int64_t np = static_cast<int64_t>(parts.size());
     const int64_t each = n / np;
     for (int64_t i = 0; i < np; ++i) {
       const int64_t off = i * each;
       const int64_t cnt = (i == np - 1) ? (n - off) : each;
-      parts[i].encode(symbols + off, indexes + off, cnt, cdfs, cdf_stride,
-                      cdf_sizes, offsets);
+      parts[i].encode(symbols + off, indexes + off, cnt, cdfs, cdf_num,
+                      cdf_stride, cdf_sizes, offsets);
     }
   }
 
@@ -425,9 +480,8 @@ void rans_encoder_encode(void* h, const int16_t* symbols, const int16_t* indexes
                          int64_t n, const int32_t* cdfs, int64_t cdf_num,
                          int64_t cdf_stride, const int32_t* cdf_sizes,
                          const int32_t* offsets) {
-  (void)cdf_num;
-  static_cast<Encoder*>(h)->encode(symbols, indexes, n, cdfs, cdf_stride,
-                                   cdf_sizes, offsets);
+  static_cast<Encoder*>(h)->encode(symbols, indexes, n, cdfs, cdf_num,
+                                   cdf_stride, cdf_sizes, offsets);
 }
 
 int64_t rans_encoder_flush(void* h) { return static_cast<Encoder*>(h)->flush(); }
