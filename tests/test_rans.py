@@ -151,6 +151,80 @@ def test_multiple_encode_calls_one_stream():
         np.testing.assert_array_equal(s, out)
 
 
+def test_multi_table_single_flush_matches_python():
+    """Two encode calls with DIFFERENT CDF tables feeding one flush: the
+    native encoder memoizes per-row EncSym tables in a per-flush arena
+    (rans.cpp:StreamEncoder); the arena must key rows per call, not
+    globally, or the second table's symbols would reuse stale entries."""
+    cdfs_a, sizes_a, offs_a = make_gaussian_cdfs(seed=7)
+    cdfs_b, sizes_b, offs_b = make_gaussian_cdfs(num_cdfs=5, support=21, seed=8)
+    rng = np.random.default_rng(9)
+    idx_a = rng.integers(0, cdfs_a.shape[0], 300).astype(np.int16)
+    sym_a = rng.integers(-15, 15, 300).astype(np.int16)
+    idx_b = rng.integers(0, cdfs_b.shape[0], 300).astype(np.int16)
+    sym_b = rng.integers(-8, 8, 300).astype(np.int16)
+
+    enc = RansEncoder(False, 1)
+    enc.reset()
+    enc.encode_with_indexes(sym_a, idx_a, cdfs_a, sizes_a, offs_a)
+    enc.encode_with_indexes(sym_b, idx_b, cdfs_b, sizes_b, offs_b)
+    enc.flush()
+    stream_c = enc.get_encoded_stream().tobytes()
+
+    if rans_mod.native_available():
+        enc_py = rans_mod._PyEncoder(1)
+        enc_py.encode(sym_a, idx_a, cdfs_a.astype(np.int32), sizes_a, offs_a)
+        enc_py.encode(sym_b, idx_b, cdfs_b.astype(np.int32), sizes_b, offs_b)
+        enc_py.flush()
+        assert stream_c == enc_py.get_stream().tobytes()
+
+    dec = RansDecoder(1)
+    dec.set_stream(stream_c)
+    np.testing.assert_array_equal(sym_a, dec.decode_stream(idx_a, cdfs_a, sizes_a, offs_a))
+    np.testing.assert_array_equal(sym_b, dec.decode_stream(idx_b, cdfs_b, sizes_b, offs_b))
+
+
+@pytest.mark.parametrize("stream_part", [2, 3])
+def test_large_roundtrip_with_escapes(stream_part):
+    """Large-n decode exercises the LUT-seeded CDF search and (on 1-core
+    hosts) the interleaved multi-part decode; escapes exercise bypass
+    inside the interleave; a non-divisible n exercises the tail part."""
+    cdfs, sizes, offsets = make_gaussian_cdfs(num_cdfs=16, support=40, seed=10)
+    rng = np.random.default_rng(11)
+    n = 50_001
+    indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int16)
+    symbols = rng.integers(-18, 18, n).astype(np.int16)
+    symbols[::53] = 321       # escape/bypass path
+    indexes[::97] = -1        # skip path
+    stream, out = roundtrip(symbols, indexes, cdfs, sizes, offsets, stream_part)
+    expected = symbols.copy()
+    expected[indexes < 0] = 0
+    np.testing.assert_array_equal(expected, out)
+
+
+def test_tiny_decode_calls_after_large():
+    """Per-wavefront-sized decode calls (n << cdf rows) take the zero-LUT
+    fallback path and must keep decoding the same stream correctly."""
+    cdfs, sizes, offsets = make_gaussian_cdfs(num_cdfs=32, seed=12)
+    rng = np.random.default_rng(13)
+    big_i = rng.integers(0, 32, 8192).astype(np.int16)
+    big_s = rng.integers(-10, 10, 8192).astype(np.int16)
+    tiny = [(rng.integers(0, 32, k).astype(np.int16),
+             rng.integers(-10, 10, k).astype(np.int16))
+            for k in (1, 3, 17, 60)]
+    enc = RansEncoder(False, 1)
+    enc.reset()
+    enc.encode_with_indexes(big_s, big_i, cdfs, sizes, offsets)
+    for ti, ts in tiny:
+        enc.encode_with_indexes(ts, ti, cdfs, sizes, offsets)
+    enc.flush()
+    dec = RansDecoder(1)
+    dec.set_stream(enc.get_encoded_stream().tobytes())
+    np.testing.assert_array_equal(big_s, dec.decode_stream(big_i, cdfs, sizes, offsets))
+    for ti, ts in tiny:
+        np.testing.assert_array_equal(ts, dec.decode_stream(ti, cdfs, sizes, offsets))
+
+
 class TestOldGenCompat:
     """CompressAI-style list-based binding surface (ops/rans_compat.py):
     the older repos' BufferedRansEncoder/RansDecoder API incl. TCM's
