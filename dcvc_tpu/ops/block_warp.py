@@ -36,6 +36,7 @@ tests/test_sharding_dmc.py); training always uses the exact warp.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -133,7 +134,7 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
     return src, apl, bpl, wy, wx, sy, sx, ma, mb, dims
 
 
-def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
+def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
             apl_ref, bpl_ref, wy_ref, wx_ref, src_ref, out_ref,
             scratch, sems):
     m = pl.program_id(0)
@@ -144,9 +145,7 @@ def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
     BHD = BH + 2 * Rv + 2
     KD = BW + 2 * Dh + 2
     g = (m * nby + bi) * nbx + bj
-    total = pl.num_programs(0) * nby * nbx
-    slot = jax.lax.rem(g, 2)
-    nslot = jax.lax.rem(g + 1, 2)
+    slot = jax.lax.rem(g, depth)
 
     def start_dma(mm, ii, jj, sl):
         pltpu.make_async_copy(
@@ -154,18 +153,25 @@ def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
                        pl.ds(sx_ref[mm, ii, jj], KD)],
             scratch.at[sl], sems.at[sl]).start()
 
+    def block_of(n):
+        jn = jax.lax.rem(n, nbx)
+        tn = jax.lax.div(n, nbx)
+        return jax.lax.div(tn, nby), jax.lax.rem(tn, nby), jn
+
+    # depth-D pipeline: keep D-1 window DMAs in flight so the per-block DMA
+    # latency (measured ~114us fixed for a dynamic-offset start/wait copy,
+    # tools/diag_dma.py) amortises across D-1 blocks of resolve work.
     @pl.when(g == 0)
     def _():
-        start_dma(m, bi, bj, slot)
+        for k in range(min(depth - 1, total)):  # static unroll
+            mk, ik, jk = block_of(jnp.int32(k))
+            start_dma(mk, ik, jk, jnp.int32(k % depth))
 
-    @pl.when(g + 1 < total)
+    @pl.when(g + depth - 1 < total)
     def _():
-        g1 = g + 1
-        j1 = jax.lax.rem(g1, nbx)
-        t1 = jax.lax.div(g1, nbx)
-        i1 = jax.lax.rem(t1, nby)
-        m1 = jax.lax.div(t1, nby)
-        start_dma(m1, i1, j1, nslot)
+        gn = g + depth - 1
+        mn, in_, jn = block_of(gn)
+        start_dma(mn, in_, jn, jax.lax.rem(gn, depth))
 
     pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[m, bi, bj], BHD),
                                      pl.ds(sx_ref[m, bi, bj], KD)],
@@ -192,11 +198,12 @@ def _kernel(BH, BW, Dh, Rv, C, sy_ref, sx_ref, ma_ref, mb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("BH", "BW", "Dh", "Rv",
-                                             "base_mode", "pad",
+                                             "base_mode", "pad", "depth",
                                              "interpret"))
 def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
                Rv: int = 2, BH: int = 8, BW: int = 512,
                base_mode: str = "median", pad: int = 16,
+               depth: int | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """Approximate backward warp of ``im`` [M,H,W,C] by ``flow`` [M,H,W,2]
     (fx, fy in pixels), Pallas TPU kernel. See module docstring for the
@@ -216,9 +223,13 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
     src, apl, bpl, wy, wx, sy, sx, ma, mb, d = _prep(
         im, flow, BH, BW, Dh, Rv, base_mode, pad)
 
+    if depth is None:
+        depth = int(os.environ.get("DCVC_TPU_BLOCK_DEPTH", "2"))
     grid = (d["M"], d["nby"], d["nbx"])
+    total = d["M"] * d["nby"] * d["nbx"]
+    depth = max(2, min(depth, total))
     blk = lambda mi, bi, bj, *_: (mi, bi, bj)
-    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C)
+    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C, depth, total)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -235,8 +246,8 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
                                    lambda mi, bi, bj, *_: (mi, 0, bi, bj),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, C, d["BHD"], d["KD"]), src.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((depth, C, d["BHD"], d["KD"]), src.dtype),
+                pltpu.SemaphoreType.DMA((depth,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d["M"], C, d["Hb"], d["Wb"]),

@@ -38,6 +38,19 @@ def test_kernel_matches_oracle(shape, blk):
                                    atol=1e-6)
 
 
+@pytest.mark.parametrize("depth", [3, 4, 8, 64])
+def test_pipeline_depth_matches_oracle(depth):
+    """The DMA pipeline depth (slots in flight) must not change results —
+    including depth > total blocks (clamped) and non-power-of-two."""
+    rng = np.random.default_rng(7)
+    im = _rand((2, 24, 48, 3), rng)
+    flow = jnp.asarray(rng.normal(0, 4.0, (2, 24, 48, 2)), jnp.float32)
+    blk = dict(Dh=4, Rv=2, BH=8, BW=16)
+    ref = block_warp_ref(im, flow, **blk)
+    ker = block_warp(im, flow, interpret=True, depth=depth, **blk)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
+
+
 def test_exact_within_window():
     """Smooth flow (any global magnitude, sub-window local deviation)
     must reproduce flow_warp exactly, including image borders."""

@@ -108,6 +108,14 @@ def main():
               lambda a, b, dh=dh, rv=rv, bh=bh, bw=bw, base=base:
               block_warp(a, b, dh, rv, bh, bw, base))
 
+    # DMA pipeline depth sweep on the RD-preferred shape: with depth=2 only
+    # ONE window copy is in flight; if the ~114us fixed dynamic-offset DMA
+    # cost (tools/diag_dma.py) dominates, deeper buffering is the fix.
+    for depth in (4, 8, 16):
+        bench(f"block:4,4,64,128,median4,d{depth}",
+              lambda a, b, depth=depth:
+              block_warp(a, b, 4, 4, 64, 128, "median4", depth=depth))
+
 
 if __name__ == "__main__":
     main()
