@@ -189,6 +189,38 @@ def bench_evc(H, W, n_iter=8, variant="evc_SS"):
     return 1.0 / ((time.time() - t0) / n_iter)
 
 
+def bench_evc_real(H, W, n_iter=3, variant="evc_SS"):
+    """EVC write_stream path: real rANS bitstreams, enc/dec fps (reference
+    bracket: EVC/run_test_image.py:59-63)."""
+    from dcvc_tpu.models.registry import build
+
+    _, _, rt = build(variant, dtype=jnp.bfloat16)
+    rt.ec_thread, rt.stream_part = True, 3
+    rt.update(force=True)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, H, W, 3), jnp.float32)
+    q = jnp.ones(())
+    comp = rt.compress(x, q)           # warm both executables
+    rt.decompress(comp["bit_stream"], H, W, q)
+    enc_t = dec_t = 0.0
+    bits = 0
+    for _ in range(n_iter):
+        t0 = time.time()
+        comp = rt.compress(x, q)
+        t1 = time.time()
+        rt.decompress(comp["bit_stream"], H, W, q)
+        t2 = time.time()
+        enc_t += t1 - t0
+        dec_t += t2 - t1
+        bits += len(comp["bit_stream"]) * 8
+    enc_t /= n_iter
+    dec_t /= n_iter
+    return {
+        "evc_real_enc_fps": round(1.0 / enc_t, 3),
+        "evc_real_dec_fps": round(1.0 / dec_t, 3),
+        "evc_real_bpp": round(bits / n_iter / (H * W), 4),
+    }
+
+
 def main():
     _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
@@ -227,6 +259,10 @@ def main():
         extra["evc_ss_est_fps"] = round(bench_evc(H, W), 3)
     except Exception as e:  # noqa: BLE001
         extra["evc_ss_est_fps"] = f"failed: {e}"
+    try:
+        extra.update(bench_evc_real(H, W))
+    except Exception as e:  # noqa: BLE001
+        extra["evc_real"] = f"failed: {e}"
 
     print(json.dumps({
         "metric": "dcvc_dc_1080p_p_frame_encdec_bf16",
