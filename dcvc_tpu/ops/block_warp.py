@@ -240,7 +240,7 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
                 pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, C, BH, BW),
                                    lambda mi, bi, bj, *_: (mi, 0, bi, bj),
