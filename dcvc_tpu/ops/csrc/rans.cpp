@@ -409,7 +409,12 @@ struct Decoder {
       declared += sizes.back();
     }
     sizes.push_back(n - off - declared);
-    assert(static_cast<size_t>(num) == parts.size());
+    // the container self-describes its part count — adapt instead of
+    // requiring the constructor's stream_part to match (the reference
+    // indexes a fixed decoder array here and would read out of bounds)
+    if (static_cast<size_t>(num) != parts.size()) {
+      parts.assign(static_cast<size_t>(num), StreamDecoder());
+    }
     for (int i = 0; i < num; ++i) {
       parts[static_cast<size_t>(i)].set_stream(data + off, sizes[static_cast<size_t>(i)]);
       off += sizes[static_cast<size_t>(i)];

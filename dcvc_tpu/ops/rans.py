@@ -422,7 +422,10 @@ class _PyDecoder:
             sizes.append(int.from_bytes(data[off:off + per_header].tobytes(), "little"))
             off += per_header
         sizes.append(data.size - off - sum(sizes))
-        assert num == len(self.parts)
+        if num != len(self.parts):
+            # the container self-describes its part count — adapt (mirrors
+            # the native decoder)
+            self.parts = [_PyStreamDecoder() for _ in range(num)]
         for p, sz in zip(self.parts, sizes):
             p.set_stream(data[off:off + sz])
             off += sz

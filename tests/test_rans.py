@@ -202,6 +202,27 @@ def test_large_roundtrip_with_escapes(stream_part):
     np.testing.assert_array_equal(expected, out)
 
 
+def test_decoder_adapts_to_stream_part_count():
+    """The container flag byte declares the part count; a decoder built
+    with a different stream_part must adapt (the reference would index
+    out of bounds here — ours resizes)."""
+    cdfs, sizes, offsets = make_gaussian_cdfs(seed=20)
+    rng = np.random.default_rng(21)
+    n = 3000
+    indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int16)
+    symbols = rng.integers(-12, 12, n).astype(np.int16)
+    enc = RansEncoder(False, 3)
+    enc.reset()
+    enc.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+    enc.flush()
+    stream = enc.get_encoded_stream().tobytes()
+    for built_as in (1, 2, 4):
+        dec = RansDecoder(built_as)
+        dec.set_stream(stream)
+        np.testing.assert_array_equal(
+            symbols, dec.decode_stream(indexes, cdfs, sizes, offsets))
+
+
 def test_tiny_decode_calls_after_large():
     """Per-wavefront-sized decode calls (n << cdf rows) take the zero-LUT
     fallback path and must keep decoding the same stream correctly."""
