@@ -26,42 +26,55 @@ def get_rounded_q(q_scale: float):
 
 # -- DCVC-DC style: q_in_ckpt flag + 6-bit q_index -------------------------
 
+def pack_i(height, width, q_in_ckpt, q_index, bit_stream) -> bytes:
+    """In-memory I-frame container (byte-identical to the encode_i file)."""
+    return (struct.pack(">2I", height, width)
+            + struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1))
+            + struct.pack(">I", len(bit_stream))
+            + bytes(bit_stream))
+
+
+def unpack_i(data: bytes):
+    height, width = struct.unpack(">2I", data[:8])
+    flag = data[8]
+    q_in_ckpt = (flag >> 7) > 0
+    q_index = (flag & 0x7F) >> 1
+    length = struct.unpack(">I", data[9:13])[0]
+    return height, width, q_in_ckpt, q_index, data[13:13 + length]
+
+
+def pack_p(string, q_in_ckpt, q_index, frame_idx) -> bytes:
+    """In-memory P-frame container (byte-identical to the encode_p file)."""
+    return (struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1))
+            + struct.pack(">B", frame_idx)
+            + struct.pack(">I", len(string))
+            + bytes(string))
+
+
+def unpack_p(data: bytes):
+    flag = data[0]
+    q_in_ckpt = (flag >> 7) > 0
+    q_index = (flag & 0x7F) >> 1
+    frame_idx = data[1]
+    length = struct.unpack(">I", data[2:6])[0]
+    return q_in_ckpt, q_index, frame_idx, data[6:6 + length]
+
+
 def encode_i(height, width, q_in_ckpt, q_index, bit_stream, output):
-    with Path(output).open("wb") as f:
-        f.write(struct.pack(">2I", height, width))
-        f.write(struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1)))
-        f.write(struct.pack(">I", len(bit_stream)))
-        f.write(bit_stream)
+    Path(output).write_bytes(pack_i(height, width, q_in_ckpt, q_index,
+                                    bit_stream))
 
 
 def decode_i(inputpath):
-    with Path(inputpath).open("rb") as f:
-        height, width = struct.unpack(">2I", f.read(8))
-        flag = struct.unpack(">B", f.read(1))[0]
-        q_in_ckpt = (flag >> 7) > 0
-        q_index = (flag & 0x7F) >> 1
-        length = struct.unpack(">I", f.read(4))[0]
-        bit_stream = f.read(length)
-    return height, width, q_in_ckpt, q_index, bit_stream
+    return unpack_i(Path(inputpath).read_bytes())
 
 
 def encode_p(string, q_in_ckpt, q_index, frame_idx, output):
-    with Path(output).open("wb") as f:
-        f.write(struct.pack(">B", (int(q_in_ckpt) << 7) + (q_index << 1)))
-        f.write(struct.pack(">B", frame_idx))
-        f.write(struct.pack(">I", len(string)))
-        f.write(string)
+    Path(output).write_bytes(pack_p(string, q_in_ckpt, q_index, frame_idx))
 
 
 def decode_p(inputpath):
-    with Path(inputpath).open("rb") as f:
-        flag = struct.unpack(">B", f.read(1))[0]
-        q_in_ckpt = (flag >> 7) > 0
-        q_index = (flag & 0x7F) >> 1
-        frame_idx = struct.unpack(">B", f.read(1))[0]
-        length = struct.unpack(">I", f.read(4))[0]
-        string = f.read(length)
-    return q_in_ckpt, q_index, frame_idx, string
+    return unpack_p(Path(inputpath).read_bytes())
 
 
 # -- HEM/EVC style: rounded-q ushort in the header --------------------------
