@@ -89,3 +89,34 @@ def test_image_and_video_serving(video_server):
 
         c.shutdown()
     assert proc.wait(timeout=60) == 0
+
+
+def test_serving_is_generation_agnostic(tmp_path):
+    """The adapters normalize every generation to the DC-shaped protocol;
+    a HEM I/P pair must serve video sessions unchanged (pad contract 64)."""
+    proc, sock = _spawn_server(tmp_path, "--i_frame_model", "intra_hem",
+                               "--p_frame_model", "dmc_hem")
+    try:
+        rng = np.random.default_rng(1)
+        with CodecClient(sock, connect_timeout=300.0) as c:
+            assert c.ping()["pad"] == 64
+            frames = [(rng.random((40, 56, 3)) * 255).astype(np.uint8)
+                      for _ in range(2)]
+            sid = c.open_video()
+            streams, recons = [], []
+            for idx, f in enumerate(frames):
+                s, r, _ = c.encode_frame(sid, f, kind="i" if idx == 0
+                                         else "p", frame_idx=idx,
+                                         want_recon=True)
+                streams.append(s)
+                recons.append(r)
+            did = c.open_video()
+            for idx, s in enumerate(streams):
+                r = c.decode_frame(did, s, kind="i" if idx == 0 else "p")
+                np.testing.assert_array_equal(recons[idx], r)
+            c.shutdown()
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
