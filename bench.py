@@ -141,6 +141,10 @@ def bench_real_coding(module, params, H, W, n_iter=3):
         "real_dec_fps": round(1.0 / dec_t, 3),
         "real_encdec_fps": round(1.0 / (enc_t + dec_t), 3),
         "real_bpp": round(bits / n_iter / (H * W), 4),
+        # measurement conditions — keeps BENCH artifacts comparable across
+        # rounds (these knobs changed between r01 and r02)
+        "real_stream_part": rt.stream_part,
+        "real_ec_thread": rt.ec_thread,
     }
 
 

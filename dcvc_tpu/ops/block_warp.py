@@ -197,9 +197,6 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
                 out_ref[0] += (wa * wb)[None] * win.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("BH", "BW", "Dh", "Rv",
-                                             "base_mode", "pad", "depth",
-                                             "interpret"))
 def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
                Rv: int = 2, BH: int = 8, BW: int = 512,
                base_mode: str = "median", pad: int = 16,
@@ -208,6 +205,20 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
     """Approximate backward warp of ``im`` [M,H,W,C] by ``flow`` [M,H,W,2]
     (fx, fy in pixels), Pallas TPU kernel. See module docstring for the
     approximation contract; ``block_warp_ref`` is the semantic oracle."""
+    # resolve the env default OUTSIDE the jit boundary: inside, the cache
+    # key would be depth=None and an env change after the first trace would
+    # be silently ignored
+    if depth is None:
+        depth = int(os.environ.get("DCVC_TPU_BLOCK_DEPTH", "2"))
+    return _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
+                           interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("Dh", "Rv", "BH", "BW",
+                                             "base_mode", "pad", "depth",
+                                             "interpret"))
+def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
+                    interpret):
     M, H, W, C = im.shape
     BH = min(BH, _ceil_to(H, 8))
     BW = min(BW, _ceil_to(W, 128))
@@ -223,8 +234,6 @@ def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
     src, apl, bpl, wy, wx, sy, sx, ma, mb, d = _prep(
         im, flow, BH, BW, Dh, Rv, base_mode, pad)
 
-    if depth is None:
-        depth = int(os.environ.get("DCVC_TPU_BLOCK_DEPTH", "2"))
     grid = (d["M"], d["nby"], d["nbx"])
     total = d["M"] * d["nby"] * d["nbx"]
     depth = max(2, min(depth, total))

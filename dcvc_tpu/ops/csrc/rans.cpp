@@ -141,13 +141,19 @@ struct StreamEncoder {
               const int32_t* cdfs, int64_t cdf_num, int64_t cdf_stride,
               const int32_t* cdf_sizes, const int32_t* offsets) {
     syms.reserve(syms.size() + static_cast<size_t>(n) * 3 / 2);
-    row_start.assign(static_cast<size_t>(cdf_num), 0);
-    row_built.assign(static_cast<size_t>(cdf_num), 0);
+    // tiny calls (per-wavefront AR substreams) don't amortise building
+    // whole EncSym rows: append ONE EncSym per symbol instead (same
+    // per-symbol cost as the old divide-at-flush, no O(rows*entries) work)
+    const bool memo_rows = n >= cdf_num * 4;
+    if (memo_rows) {
+      row_start.assign(static_cast<size_t>(cdf_num), 0);
+      row_built.assign(static_cast<size_t>(cdf_num), 0);
+    }
     for (int64_t i = 0; i < n; ++i) {
       const int32_t cdf_idx = indexes[i];
       if (cdf_idx < 0) continue;  // index < 0 means "skip" (known value)
       const int32_t max_value = cdf_sizes[cdf_idx] - 2;
-      if (!row_built[cdf_idx]) {
+      if (memo_rows && !row_built[cdf_idx]) {
         const int32_t* cdf = cdfs + cdf_idx * cdf_stride;
         row_start[cdf_idx] = static_cast<int32_t>(arena.size());
         arena.resize(arena.size() + static_cast<size_t>(max_value) + 1);
@@ -169,7 +175,15 @@ struct StreamEncoder {
         value = max_value;
       }
 
-      syms.push_back(static_cast<uint32_t>(row_start[cdf_idx] + value));
+      if (memo_rows) {
+        syms.push_back(static_cast<uint32_t>(row_start[cdf_idx] + value));
+      } else {
+        const int32_t* cdf = cdfs + cdf_idx * cdf_stride;
+        syms.push_back(static_cast<uint32_t>(arena.size()));
+        arena.emplace_back();
+        enc_sym_init(&arena.back(), static_cast<uint32_t>(cdf[value]),
+                     static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
+      }
 
       if (value == max_value) {
         // escape: emit bypass chunk count, then the raw value in 4-bit chunks
@@ -384,7 +398,9 @@ struct Encoder {
 
 struct Decoder {
   std::vector<StreamDecoder> parts;
-  std::vector<uint16_t> lut;  // rebuilt per decode call, reuses the allocation
+  std::vector<uint16_t> lut;       // rebuilt per decode call (large calls)
+  std::vector<uint16_t> zero_lut;  // persistent all-zero LUT (tiny calls);
+                                   // never written, so no per-call memset
 
   explicit Decoder(int n) : parts(static_cast<size_t>(n)) {}
 
@@ -424,15 +440,18 @@ struct Decoder {
   void decode(const int16_t* indexes, int64_t n,
               const int32_t* cdfs, int64_t cdf_num, int64_t cdf_stride,
               const int32_t* cdf_sizes, const int32_t* offsets, int16_t* out) {
+    const uint16_t* lp;
     if (n >= cdf_num * 4) {
       build_decode_lut(cdfs, cdf_num, cdf_stride, cdf_sizes, &lut);
+      lp = lut.data();
     } else {
       // Tiny decode calls (e.g. per-wavefront AR substreams) don't amortise
       // the LUT build; a zero start point reproduces the plain from-zero
-      // search exactly.
-      lut.assign(static_cast<size_t>(cdf_num) * kLutSize, 0);
+      // search exactly. zero_lut only ever grows with zeros — no memset.
+      const size_t needed = static_cast<size_t>(cdf_num) * kLutSize;
+      if (zero_lut.size() < needed) zero_lut.resize(needed, 0);
+      lp = zero_lut.data();
     }
-    const uint16_t* lp = lut.data();
     const int64_t np = static_cast<int64_t>(parts.size());
     const int64_t each = n / np;
     if (np == 1) {

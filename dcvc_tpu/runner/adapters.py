@@ -208,6 +208,14 @@ class Gen1PFrameAdapter(_Adapter):
         return {"dpb": {"ref_frame": out["recon_image"]}}
 
 
+def pad_for_model(model: str) -> int:
+    """Pad-to-multiple contract per generation: DC pads to 16, older
+    generations to 64 (reference test_video.py per-repo padding). The
+    single source of truth for the CLI and the serving layer — real-coding
+    containers desync if the two disagree."""
+    return 16 if model in ("intra_dc", "dmc_dc") else 64
+
+
 def adapt_i_runtime(rt):
     from ..models.runtime import IntraDcRuntime, IntraZooRuntime
 

@@ -26,13 +26,17 @@ class ServerError(RuntimeError):
 
 class CodecClient:
     def __init__(self, socket_path: str, connect_timeout: float = 120.0):
-        self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         deadline = time.time() + connect_timeout
         while True:
+            # fresh socket per attempt: a socket's state after a failed
+            # connect() is unspecified by POSIX (EINVAL on retry on some
+            # platforms)
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             try:
                 self.sock.connect(socket_path)
                 break
             except (FileNotFoundError, ConnectionRefusedError):
+                self.sock.close()
                 if time.time() > deadline:
                     raise
                 time.sleep(0.2)

@@ -42,10 +42,6 @@ import numpy as np
 from .protocol import recv_msg, send_msg
 
 
-def _pad_for(model: str) -> int:
-    return 16 if model in ("intra_dc", "dmc_dc") else 64
-
-
 def _pad_hwc(x: np.ndarray, mult: int):
     h, w = x.shape[:2]
     ph = -h % mult
@@ -65,15 +61,16 @@ class CodecServer:
         import jax.numpy as jnp
 
         from ..models.registry import build
-        from ..runner.adapters import adapt_i_runtime, adapt_p_runtime
+        from ..runner.adapters import (adapt_i_runtime, adapt_p_runtime,
+                                       pad_for_model)
         from ..utils.checkpoint import load_params
 
         self._jnp = jnp
         self.i_model = i_frame_model
         self.p_model = p_frame_model
-        self.pad = _pad_for(i_frame_model)
+        self.pad = pad_for_model(i_frame_model)
         if p_frame_model:
-            if _pad_for(p_frame_model) != self.pad:
+            if pad_for_model(p_frame_model) != self.pad:
                 raise ValueError(
                     "I/P models must share a padding generation for real "
                     "coding (see tools/test_video.py)")
@@ -261,22 +258,38 @@ class CodecServer:
                 conn, _ = srv.accept()
                 with conn:
                     while True:
-                        msg = recv_msg(conn)
+                        # a misbehaving/killed client must never take down
+                        # the warm process (the whole point is the kept jit
+                        # investment): any socket error drops THIS
+                        # connection and returns to accept()
+                        try:
+                            msg = recv_msg(conn)
+                        except (ConnectionError, OSError):
+                            break
                         if msg is None:
                             break
                         header, payloads = msg
                         if header.get("op") == "shutdown":
-                            send_msg(conn, {"ok": True})
+                            try:
+                                send_msg(conn, {"ok": True})
+                            except OSError:
+                                pass
                             stop = True
                             break
                         try:
                             resp, out = self.handle(header, payloads)
                             resp["ok"] = True
                             send_msg(conn, resp, out)
+                        except (ConnectionError, BrokenPipeError):
+                            break
                         except Exception as e:  # noqa: BLE001 — report to
                             # the client, keep serving
                             traceback.print_exc()
-                            send_msg(conn, {"ok": False, "error": repr(e)})
+                            try:
+                                send_msg(conn, {"ok": False,
+                                                "error": repr(e)})
+                            except OSError:
+                                break
         finally:
             srv.close()
             if os.path.exists(socket_path):

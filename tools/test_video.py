@@ -67,10 +67,8 @@ def main():
     with open(args.test_config) as f:
         specs = load_dataset_config(json.load(f))
 
-    # pad-to-multiple contract: DC generation pads to 16, older gens to 64
-    # (reference test_video.py per-repo padding)
-    def _pad_for(model):
-        return 16 if model in ("intra_dc", "dmc_dc") else 64
+    # pad-to-multiple contract (single source of truth: runner/adapters.py)
+    from dcvc_tpu.runner.adapters import pad_for_model as _pad_for
 
     pad_i = _pad_for(args.i_frame_model)
     pad_multiple = (pad_i if args.force_intra
