@@ -246,6 +246,50 @@ def test_tiny_decode_calls_after_large():
         np.testing.assert_array_equal(ts, dec.decode_stream(ti, cdfs, sizes, offsets))
 
 
+def test_golden_stream_conformance():
+    """Byte-format conformance pin: a fixed deterministic workload must
+    produce these exact stream bytes forever. Catches format drift that the
+    C-vs-Python-oracle parity test cannot (both drifting together) —
+    streams written by older builds must stay decodable."""
+    import hashlib
+
+    rng = np.random.default_rng(42)
+    n_idx = 16
+    cdfs = np.zeros((n_idx, 35), np.int32)
+    sizes = np.zeros(n_idx, np.int32)
+    offs = np.zeros(n_idx, np.int32)
+    for i in range(n_idx):
+        xs = np.arange(33) - 16
+        pmf = np.exp(-np.abs(xs) / (0.5 + i))
+        pmf /= pmf.sum()
+        cdf = pmf_to_quantized_cdf(pmf.astype(np.float64))
+        cdfs[i, :len(cdf)] = cdf
+        sizes[i] = len(cdf)
+        offs[i] = -16
+    n = 4096
+    idx = rng.integers(0, n_idx, n).astype(np.int16)
+    sym = rng.integers(-20, 20, n).astype(np.int16)
+    sym[::37] = 99  # escapes
+    golden = {
+        1: (4257, "4bc65a04c3391af111205b81789c32e691a065d5"
+                  "3744d3320304e62c346e0ee7"),
+        3: (4269, "8c5bc5c5f71d997adcecd14663d303dfcb92b516"
+                  "0b2614435cd57d022d8b663f"),
+    }
+    for part, (length, sha) in golden.items():
+        enc = RansEncoder(False, part)
+        enc.reset()
+        enc.encode_with_indexes(sym, idx, cdfs, sizes, offs)
+        enc.flush()
+        stream = enc.get_encoded_stream().tobytes()
+        assert (len(stream), hashlib.sha256(stream).hexdigest()) == \
+            (length, sha), f"bitstream format drifted at part={part}"
+        dec = RansDecoder(part)
+        dec.set_stream(stream)
+        np.testing.assert_array_equal(
+            sym, dec.decode_stream(idx, cdfs, sizes, offs))
+
+
 class TestOldGenCompat:
     """CompressAI-style list-based binding surface (ops/rans_compat.py):
     the older repos' BufferedRansEncoder/RansDecoder API incl. TCM's
