@@ -217,7 +217,14 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 # PLAN.md cost model). Training keeps the exact warp (custom-VJP packed
 # path): the trained dynamics remain the reference semantics
 # (DCVC-DC/src/models/video_model.py:26-63).
-RD_GATED_TILE_MODE = "tile:16,2,median"
+#
+# tile:32,2 over tile:16,2: family accuracy stats put 32,2 in the SAME
+# class as 16,2 (RDNOTES.md §2) with half the gather-slice count, and the
+# 2026-08-18 on-chip 1080p in-model A/B (out/warp_gate/s6_queue.log)
+# measured 0.905 fps vs 0.863 — the wall-clock tiebreak the candidate was
+# pending. tile:32,1 (1.007 fps) stays opt-in: its zoom/turbulence
+# accuracy class (43-48 dB) is below "visually exact".
+RD_GATED_TILE_MODE = "tile:32,2,median"
 
 
 def default_od_warp_mode() -> str:
