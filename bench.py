@@ -46,7 +46,7 @@ from dcvc_tpu.ops.warp import RD_GATED_TILE_MODE
 TILE_MODE = os.environ.get("DCVC_TPU_BENCH_WARP", RD_GATED_TILE_MODE)
 
 
-def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
+def _wait_for_device(max_tries: int = 8, delay: float = 30.0):
     """The axon chip claim can linger after a killed client; retry."""
     for i in range(max_tries):
         try:
@@ -57,6 +57,41 @@ def _wait_for_device(max_tries: int = 6, delay: float = 30.0):
                   flush=True)
             time.sleep(delay)
     raise RuntimeError("accelerator unavailable")
+
+
+def _resilient(label, fn, retries=4, delay=45.0):
+    """Run one measurement section with connection-drop recovery.
+
+    The remote-TPU tunnel can drop mid-measurement (round 2's whole BENCH
+    artifact was voided by one drop inside ``bench_estimated``). Each retry
+    re-probes the device and re-runs the section from scratch, so a timing
+    loop interrupted by a drop is re-measured rather than reported torn.
+    Returns the section's value, or the stringified error after all retries.
+    """
+    for i in range(retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            err = f"{type(e).__name__}: {e}"
+            print(f"# section {label} failed (try {i + 1}/{retries}): "
+                  f"{err[:300]}", flush=True)
+            if i + 1 < retries:
+                time.sleep(delay)
+                try:
+                    _wait_for_device()
+                except RuntimeError:
+                    continue
+    return f"failed: {err[:300]}"
+
+
+def _checkpoint_partial(payload):
+    """Persist whatever has been measured so far — a hard crash later still
+    leaves a parseable artifact on disk."""
+    try:
+        with open("BENCH_partial.json", "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass
 
 
 def _build(warp_mode, mc_warp_mode=None, me_warp_mode=None):
@@ -229,52 +264,93 @@ def main():
     _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
 
-    module, params, qs = _build(TILE_MODE)
-    fps = bench_estimated(module, params, qs, H, W)
-
     extra = {"warp_mode": TILE_MODE}
-    try:
-        module_e, params_e, qs_e = _build("exact")
-        extra["est_fps_exact_warp"] = round(
-            bench_estimated(module_e, params_e, qs_e, H, W, n_iter=4), 3)
-    except Exception as e:  # noqa: BLE001
-        extra["est_fps_exact_warp"] = f"failed: {e}"
-    # Pallas block-warp candidate on ALL warp sites (RD-gated with more
-    # margin than the tile modes, RDNOTES.md §3b) — recorded so the BENCH
-    # artifact carries the A/B even before it becomes the default.
-    blk = os.environ.get("DCVC_TPU_BENCH_BLOCK", "block:4,4,64,128,median4")
-    if blk and blk != TILE_MODE:
-        try:
-            module_b, params_b, qs_b = _build(blk, blk, blk)
-            extra["est_fps_allblock"] = round(
-                bench_estimated(module_b, params_b, qs_b, H, W, n_iter=4), 3)
-            extra["allblock_mode"] = blk
-        except Exception as e:  # noqa: BLE001
-            extra["est_fps_allblock"] = f"failed: {e}"
-    try:
-        extra.update(bench_real_coding(module, params, H, W))
-    except Exception as e:  # noqa: BLE001
-        extra["real_coding"] = f"failed: {e}"
-    try:
-        extra["intra_dc_est_fps"] = round(bench_intra(H, W), 3)
-    except Exception as e:  # noqa: BLE001
-        extra["intra_dc_est_fps"] = f"failed: {e}"
-    try:
-        extra["evc_ss_est_fps"] = round(bench_evc(H, W), 3)
-    except Exception as e:  # noqa: BLE001
-        extra["evc_ss_est_fps"] = f"failed: {e}"
-    try:
-        extra.update(bench_evc_real(H, W))
-    except Exception as e:  # noqa: BLE001
-        extra["evc_real"] = f"failed: {e}"
-
-    print(json.dumps({
+    payload = {
         "metric": "dcvc_dc_1080p_p_frame_encdec_bf16",
-        "value": round(fps, 3),
+        "value": None,
         "unit": "fps",
-        "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+        "vs_baseline": None,
         "extra": extra,
-    }))
+    }
+
+    def _headline():
+        module, params, qs = _build(TILE_MODE)
+        fps = bench_estimated(module, params, qs, H, W)
+        return fps, module, params
+
+    # The headline number gets the most retries — a torn timing loop is
+    # re-measured from scratch (round 2 lost its artifact to one drop here).
+    head = _resilient("headline", _headline, retries=6, delay=60.0)
+    module = params = None
+    if isinstance(head, tuple):
+        fps, module, params = head
+        payload["value"] = round(fps, 3)
+        payload["vs_baseline"] = round(fps / REFERENCE_GPU_FPS, 3)
+    else:
+        extra["headline_error"] = head
+    _checkpoint_partial(payload)
+
+    def _exact():
+        module_e, params_e, qs_e = _build("exact")
+        return round(bench_estimated(module_e, params_e, qs_e, H, W,
+                                     n_iter=4), 3)
+
+    extra["est_fps_exact_warp"] = _resilient("exact_warp", _exact)
+    _checkpoint_partial(payload)
+
+    # All-sites tile candidate (RDNOTES §4: alltile:32,1 measured 0.99 fps
+    # but ships opt-in on accuracy class) — recorded so the BENCH artifact
+    # carries the A/B even before any default flip.
+    alt = os.environ.get("DCVC_TPU_BENCH_ALT", "alltile:32,1,median")
+    if alt:
+        mode = alt.split(":", 1)[-1]
+        if alt.startswith("alltile:"):
+            modes = ("tile:" + mode,) * 3
+        else:
+            modes = (alt, alt, alt)
+
+        def _alt():
+            m, p, q = _build(*modes)
+            return round(bench_estimated(m, p, q, H, W, n_iter=4), 3)
+
+        extra["est_fps_alt"] = _resilient("alt_mode", _alt)
+        extra["alt_mode"] = alt
+        _checkpoint_partial(payload)
+
+    if module is not None:
+        extra_rc = _resilient(
+            "real_coding", lambda: bench_real_coding(module, params, H, W))
+        if isinstance(extra_rc, dict):
+            extra.update(extra_rc)
+        else:
+            extra["real_coding"] = extra_rc
+        _checkpoint_partial(payload)
+
+    extra["intra_dc_est_fps"] = _resilient(
+        "intra", lambda: round(bench_intra(H, W), 3))
+    _checkpoint_partial(payload)
+    extra["evc_ss_est_fps"] = _resilient(
+        "evc", lambda: round(bench_evc(H, W), 3))
+    _checkpoint_partial(payload)
+    evc_rc = _resilient("evc_real", lambda: bench_evc_real(H, W))
+    if isinstance(evc_rc, dict):
+        extra.update(evc_rc)
+    else:
+        extra["evc_real"] = evc_rc
+    _checkpoint_partial(payload)
+
+    # Last-resort headline: if the gated default never completed but the
+    # exact-warp section did, report that (it is the slower, conservative
+    # number) rather than emitting no value at all.
+    if payload["value"] is None and isinstance(
+            extra.get("est_fps_exact_warp"), (int, float)):
+        payload["value"] = extra["est_fps_exact_warp"]
+        payload["vs_baseline"] = round(
+            payload["value"] / REFERENCE_GPU_FPS, 3)
+        extra["headline_fallback"] = "exact_warp"
+
+    _checkpoint_partial(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
