@@ -70,8 +70,23 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
                        mode="edge")
     assert flow.dtype == jnp.float32
     nby, nbx = Hb // BH, Wb // BW
-    BHD = BH + 2 * Rv + 2
-    KD = BW + 2 * Dh + 2
+    # Mosaic constrains VMEM memref slices twice over: extents in the
+    # (sublane, lane) dims must be multiples of the (8, 128) tile, AND
+    # dynamic offsets must be PROVABLY tile-aligned ("Failed to prove that
+    # a tile index in dimension 2 is divisible by the tiling (8)").
+    # Arbitrary per-block window starts therefore become:
+    #   start = tile_idx * (8|128)  (provable)  +  residual
+    # with the window enlarged by one tile per axis to cover the residual.
+    # The sublane residual ry in [0,8) folds into the per-pixel vertical
+    # tap index; the lane residual rx in [0,128) is resolved by ONE dynamic
+    # lane-rotate of the window inside VMEM (tpu.dynamic_rotate), after
+    # which the tap slices are static again.
+    BHD_u = BH + 2 * Rv + 2          # rows actually read from the start px
+    KD_u = BW + 2 * Dh + 2
+    BHD = _ceil_to(BHD_u + 7, 8)     # + sublane residual + tile alignment
+    KD = _ceil_to(KD_u + 127, 128)   # + lane residual + tile alignment
+    tail_y = BHD - BHD_u
+    tail_x = KD - KD_u
     # Edge pad = tap reach (R+1) plus a `pad` margin: a window whose base
     # points up to `pad` px outside the image still sits unclamped inside
     # the padded array. Without the margin, ANY border block with nonzero
@@ -99,17 +114,26 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
             fb.reshape(M, nby, nbx, BH * BW, 2), axis=3))  # [M, nby, nbx, 2]
 
     src = jnp.pad(im.transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (Py, Py), (Px, Px)), mode="edge")
+                  ((0, 0), (0, 0), (Py, Py + tail_y), (Px, Px + tail_x)),
+                  mode="edge")
+    # Clamp bounds use the UNPADDED window extent so border semantics are
+    # identical to the pre-alignment kernel; the residual+alignment tail
+    # always has in-bounds rows/cols because src grew by exactly
+    # tail_y/tail_x (worst case: residual 0, window end sy + BHD).
     Hp, Wp = Hb + 2 * Py, Wb + 2 * Px
 
     i0 = (jnp.arange(nby) * BH)[None, :, None]
     j0 = (jnp.arange(nbx) * BW)[None, None, :]
     sy_raw = i0 + base[..., 1].astype(jnp.int32) + pad
     sx_raw = j0 + base[..., 0].astype(jnp.int32) + pad
-    sy = jnp.clip(sy_raw, 0, Hp - BHD)
-    sx = jnp.clip(sx_raw, 0, Wp - KD)
+    sy = jnp.clip(sy_raw, 0, Hp - BHD_u)
+    sx = jnp.clip(sx_raw, 0, Wp - KD_u)
     eff_by = base[..., 1] - (sy_raw - sy).astype(base.dtype)
     eff_bx = base[..., 0] - (sx_raw - sx).astype(base.dtype)
+
+    # tile-aligned window origin + residuals (see alignment note above)
+    sy_t, ry = sy // 8, (sy % 8).astype(jnp.int32)
+    sx_t, rx = sx // 128, (sx % 128).astype(jnp.int32)
 
     def per_pixel(eff, comp, R):
         e = jnp.repeat(jnp.repeat(eff, BH, axis=1), BW, axis=2)
@@ -119,22 +143,26 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
 
     apl, wy = per_pixel(eff_by, 1, Rv)                    # apl in [1, 2Rv]
     bpl, wx = per_pixel(eff_bx, 0, Dh)                    # bpl in [1, 2Dh]
+    # vertical tap indices are relative to the TILE-ALIGNED window origin:
+    # the per-block sublane residual shifts every pixel's tap down by ry
+    apl = apl + jnp.repeat(jnp.repeat(ry, BH, axis=1), BW, axis=2)
 
-    def bitmask(pl_idx, R):
+    def bitmask(pl_idx, maxbit):
         bits = (1 << pl_idx) | (1 << (pl_idx + 1))
         bb = bits.reshape(M, nby, BH, nbx, BW)
-        if 2 * R + 1 >= 31:
+        if maxbit >= 31:
             return jnp.full((M, nby, nbx), -1, jnp.int32)
         return jax.lax.reduce(bb, np.int32(0), jax.lax.bitwise_or, (2, 4))
 
-    ma = bitmask(apl, Rv)
-    mb = bitmask(bpl, Dh)
+    ma = bitmask(apl, 2 * Rv + 9)   # apl now reaches 2Rv+8 (+1 bilinear bit)
+    mb = bitmask(bpl, 2 * Dh + 2)
     dims = dict(M=M, C=C, H=H, W=W, Hb=Hb, Wb=Wb, nby=nby, nbx=nbx,
                 BHD=BHD, KD=KD)
-    return src, apl, bpl, wy, wx, sy, sx, ma, mb, dims
+    return src, apl, bpl, wy, wx, sy_t, sx_t, rx, ma, mb, dims
 
 
-def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
+def _kernel(BH, BW, Dh, Rv, C, depth, total, interpret,
+            sy_ref, sx_ref, rx_ref, ma_ref, mb_ref,
             apl_ref, bpl_ref, wy_ref, wx_ref, src_ref, out_ref,
             scratch, sems):
     m = pl.program_id(0)
@@ -142,15 +170,16 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
     bj = pl.program_id(2)
     nby = pl.num_programs(1)
     nbx = pl.num_programs(2)
-    BHD = BH + 2 * Rv + 2
-    KD = BW + 2 * Dh + 2
+    BHD = _ceil_to(BH + 2 * Rv + 2 + 7, 8)
+    KD = _ceil_to(BW + 2 * Dh + 2 + 127, 128)
     g = (m * nby + bi) * nbx + bj
     slot = jax.lax.rem(g, depth)
 
     def start_dma(mm, ii, jj, sl):
+        # offsets written as tile_idx * tile so Mosaic can PROVE alignment
         pltpu.make_async_copy(
-            src_ref.at[mm, :, pl.ds(sy_ref[mm, ii, jj], BHD),
-                       pl.ds(sx_ref[mm, ii, jj], KD)],
+            src_ref.at[mm, :, pl.ds(sy_ref[mm, ii, jj] * 8, BHD),
+                       pl.ds(sx_ref[mm, ii, jj] * 128, KD)],
             scratch.at[sl], sems.at[sl]).start()
 
     def block_of(n):
@@ -173,8 +202,8 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
         mn, in_, jn = block_of(gn)
         start_dma(mn, in_, jn, jax.lax.rem(gn, depth))
 
-    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[m, bi, bj], BHD),
-                                     pl.ds(sx_ref[m, bi, bj], KD)],
+    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[m, bi, bj] * 8, BHD),
+                                     pl.ds(sx_ref[m, bi, bj] * 128, KD)],
                           scratch.at[slot], sems.at[slot]).wait()
 
     apl = apl_ref[0]
@@ -183,9 +212,19 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
     wx = wx_ref[0]
     ma = ma_ref[m, bi, bj]
     mb = mb_ref[m, bi, bj]
+    # one dynamic lane-rotate undoes the 128-alignment residual, making all
+    # tap slices static again (the rotated-in wraparound lanes land beyond
+    # BW+2Dh+1 and are never read)
+    rx = rx_ref[m, bi, bj]
+    shift = jax.lax.rem(jnp.int32(KD) - rx, jnp.int32(KD))
+    window = scratch[slot].astype(jnp.float32)
+    if interpret:
+        window = jnp.roll(window, shift, axis=2)
+    else:
+        window = pltpu.roll(window, shift, 2)
     out_ref[0] = jnp.zeros((C, BH, BW), out_ref.dtype)
     one = jnp.float32(1.0)
-    for a in range(1, 2 * Rv + 2):
+    for a in range(1, 2 * Rv + 9):   # apl carries the sublane residual
         wa = (jnp.where(apl == a, one - wy, 0.0)
               + jnp.where(apl == a - 1, wy, 0.0))
         for b in range(1, 2 * Dh + 2):
@@ -193,8 +232,8 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, sy_ref, sx_ref, ma_ref, mb_ref,
             def _(a=a, b=b, wa=wa):
                 wb = (jnp.where(bpl == b, one - wx, 0.0)
                       + jnp.where(bpl == b - 1, wx, 0.0))
-                win = scratch[slot, :, a:a + BH, b:b + BW]
-                out_ref[0] += (wa * wb)[None] * win.astype(jnp.float32)
+                win = window[:, a:a + BH, b:b + BW]
+                out_ref[0] += (wa * wb)[None] * win
 
 
 def block_warp(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
@@ -231,18 +270,19 @@ def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
         im = im.astype(jnp.float32)
     if flow.dtype != jnp.float32:
         flow = flow.astype(jnp.float32)
-    src, apl, bpl, wy, wx, sy, sx, ma, mb, d = _prep(
+    src, apl, bpl, wy, wx, sy_t, sx_t, rx, ma, mb, d = _prep(
         im, flow, BH, BW, Dh, Rv, base_mode, pad)
 
     grid = (d["M"], d["nby"], d["nbx"])
     total = d["M"] * d["nby"] * d["nbx"]
     depth = max(2, min(depth, total))
     blk = lambda mi, bi, bj, *_: (mi, bi, bj)
-    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C, depth, total)
+    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C, depth, total,
+                               interpret)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
@@ -262,7 +302,7 @@ def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
         out_shape=jax.ShapeDtypeStruct((d["M"], C, d["Hb"], d["Wb"]),
                                        jnp.float32),
         interpret=interpret,
-    )(sy, sx, ma, mb, apl, bpl, wy, wx, src)
+    )(sy_t, sx_t, rx, ma, mb, apl, bpl, wy, wx, src)
     out = out.transpose(0, 2, 3, 1)[:, :H, :W]
     return out.astype(out_dtype)
 
@@ -281,12 +321,15 @@ def block_warp_ref(im: jnp.ndarray, flow: jnp.ndarray, Dh: int = 8,
         im = im.astype(jnp.float32)
     if flow.dtype != jnp.float32:
         flow = flow.astype(jnp.float32)
-    src, apl, bpl, wy, wx, sy, sx, _, _, d = _prep(
+    src, apl, bpl, wy, wx, sy_t, sx_t, rx, _, _, d = _prep(
         im, flow, BH, BW, Dh, Rv, base_mode, pad)
     Hb, Wb, nby, nbx = d["Hb"], d["Wb"], d["nby"], d["nbx"]
 
-    syp = jnp.repeat(jnp.repeat(sy, BH, axis=1), BW, axis=2)
-    sxp = jnp.repeat(jnp.repeat(sx, BH, axis=1), BW, axis=2)
+    # window origins in padded coords: apl already carries the sublane
+    # residual (relative to the tile-aligned origin); the lane residual is
+    # explicit in rx
+    syp = jnp.repeat(jnp.repeat(sy_t * 8, BH, axis=1), BW, axis=2)
+    sxp = jnp.repeat(jnp.repeat(sx_t * 128 + rx, BH, axis=1), BW, axis=2)
     ii = jnp.arange(Hb)[None, :, None] % BH
     jj = jnp.arange(Wb)[None, None, :] % BW
     ya = syp + ii + apl      # floor tap row, padded coords
