@@ -23,7 +23,10 @@ def laplace_cdf(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 
 
 def gaussian_cdf(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    return jax.scipy.special.ndtr(x / scale)
+    # ndtr rejects bf16, and tail probabilities need f32 anyway; the caller
+    # gets back its own dtype
+    z = (x / scale).astype(jnp.float32)
+    return jax.scipy.special.ndtr(z).astype(x.dtype)
 
 
 def y_laplace_bits(y: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:

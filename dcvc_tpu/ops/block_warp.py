@@ -175,17 +175,17 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, interpret,
     g = (m * nby + bi) * nbx + bj
     slot = jax.lax.rem(g, depth)
 
-    def start_dma(mm, ii, jj, sl):
+    # Scalar-prefetch arrays are FLAT (total,) — SMEM operands are padded
+    # to a 128-wide last dim, so a (M, nby, nbx) layout with small nbx
+    # blows the 1 MiB SMEM budget 32x at 1080p ("Allocation would exceed
+    # memory (space=smem), tag='prefetched SMEM operand'").
+    def start_dma(n, sl):
         # offsets written as tile_idx * tile so Mosaic can PROVE alignment
+        mm = jax.lax.div(jax.lax.div(n, nbx), nby)
         pltpu.make_async_copy(
-            src_ref.at[mm, :, pl.ds(sy_ref[mm, ii, jj] * 8, BHD),
-                       pl.ds(sx_ref[mm, ii, jj] * 128, KD)],
+            src_ref.at[mm, :, pl.ds(sy_ref[n] * 8, BHD),
+                       pl.ds(sx_ref[n] * 128, KD)],
             scratch.at[sl], sems.at[sl]).start()
-
-    def block_of(n):
-        jn = jax.lax.rem(n, nbx)
-        tn = jax.lax.div(n, nbx)
-        return jax.lax.div(tn, nby), jax.lax.rem(tn, nby), jn
 
     # depth-D pipeline: keep D-1 window DMAs in flight so the per-block DMA
     # latency (measured ~114us fixed for a dynamic-offset start/wait copy,
@@ -193,29 +193,27 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, interpret,
     @pl.when(g == 0)
     def _():
         for k in range(min(depth - 1, total)):  # static unroll
-            mk, ik, jk = block_of(jnp.int32(k))
-            start_dma(mk, ik, jk, jnp.int32(k % depth))
+            start_dma(jnp.int32(k), jnp.int32(k % depth))
 
     @pl.when(g + depth - 1 < total)
     def _():
         gn = g + depth - 1
-        mn, in_, jn = block_of(gn)
-        start_dma(mn, in_, jn, jax.lax.rem(gn, depth))
+        start_dma(gn, jax.lax.rem(gn, depth))
 
-    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[m, bi, bj] * 8, BHD),
-                                     pl.ds(sx_ref[m, bi, bj] * 128, KD)],
+    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[g] * 8, BHD),
+                                     pl.ds(sx_ref[g] * 128, KD)],
                           scratch.at[slot], sems.at[slot]).wait()
 
     apl = apl_ref[0]
     bpl = bpl_ref[0]
     wy = wy_ref[0]
     wx = wx_ref[0]
-    ma = ma_ref[m, bi, bj]
-    mb = mb_ref[m, bi, bj]
+    ma = ma_ref[g]
+    mb = mb_ref[g]
     # one dynamic lane-rotate undoes the 128-alignment residual, making all
     # tap slices static again (the rotated-in wraparound lanes land beyond
     # BW+2Dh+1 and are never read)
-    rx = rx_ref[m, bi, bj]
+    rx = rx_ref[g]
     shift = jax.lax.rem(jnp.int32(KD) - rx, jnp.int32(KD))
     window = scratch[slot].astype(jnp.float32)
     if interpret:
@@ -302,7 +300,8 @@ def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
         out_shape=jax.ShapeDtypeStruct((d["M"], C, d["Hb"], d["Wb"]),
                                        jnp.float32),
         interpret=interpret,
-    )(sy_t, sx_t, rx, ma, mb, apl, bpl, wy, wx, src)
+    )(sy_t.reshape(-1), sx_t.reshape(-1), rx.reshape(-1),
+      ma.reshape(-1), mb.reshape(-1), apl, bpl, wy, wx, src)
     out = out.transpose(0, 2, 3, 1)[:, :H, :W]
     return out.astype(out_dtype)
 

@@ -1,0 +1,246 @@
+"""Model-level golden bitstream conformance (round-2 VERDICT item #4).
+
+The rANS layer already has byte-exact golden pins (test_rans.py); this pins
+the FULL encoder stack per generation — device compute → symbolization →
+CDF tables → rANS → file container — to exact committed bytes, so a codec-
+side refactor that changes any stream fails loudly instead of silently
+(round-trips alone stay green under such a change).
+
+Containers pinned match the reference formats:
+  - DC I/P headers with q_in_ckpt flag + 6-bit q_index
+    (DCVC-DC/src/utils/stream_helper.py:94-139)
+  - HEM/EVC ushort rounded-q headers (DCVC-HEM stream_helper)
+  - gen-1 four-substream container (DCVC/src/utils/stream_helper.py:108-163)
+  - TCM bare stream (DCVC-TCM writes the naked rANS payload)
+
+Regenerate after an INTENTIONAL stream change:
+  python tests/test_golden_bins.py --regen
+"""
+
+import hashlib
+import json
+import struct
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden"
+MANIFEST = GOLDEN / "manifest.json"
+
+
+def _img(h=64, w=64, seed=0, shift=0):
+    """Smooth base + pixel noise: random-init models emit near-zero latents
+    on smooth inputs (degenerate few-byte streams); the noise floor keeps
+    enough symbol mass in every plane for the pin to mean something."""
+    rng = np.random.default_rng(seed)
+    base = rng.random((1, h // 8 + 2, w // 8 + 2, 3))
+    img = jax.image.resize(jnp.asarray(base), (1, h + 16, w + 16, 3), "linear")
+    img = img[:, shift:shift + h, shift:shift + w, :]
+    noise = jnp.asarray(rng.normal(0.0, 0.18, img.shape))
+    # deliberately out-of-gamut dynamic range: random-init encoders emit
+    # near-zero latents on [0,1] inputs, which would make every y-plane an
+    # all-zero-symbol stream; x6 drive puts real symbol mass in the pins
+    return ((img + noise) * 6.0 - 2.5).astype(jnp.float32)
+
+
+# --- per-generation fixtures: (container_bytes, decoded_recon, enc_recon) ---
+
+
+def _case_dc_intra():
+    from dcvc_tpu.models.intra_dc import IntraNoAR
+    from dcvc_tpu.models.runtime import IntraDcRuntime
+    from dcvc_tpu.utils.stream import pack_i, unpack_i
+
+    module = IntraNoAR(N=32, ch_a=16, ch_b=24)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         jnp.ones(()), jnp.ones(()))
+    rt = IntraDcRuntime(module, params)
+    rt.update(force=True)
+    x = _img(seed=11)
+    comp = rt.compress(x, q_in_ckpt=True, q_index=0)
+    data = pack_i(64, 64, True, 0, comp["bit_stream"])
+    h, w, q_in_ckpt, q_index, stream = unpack_i(data)
+    dec = rt.decompress(stream, h, w, q_in_ckpt, q_index)
+    return data, np.asarray(dec["x_hat"]), np.asarray(comp["x_hat"])
+
+
+def _case_dc_p():
+    from dcvc_tpu.models.video_dc import DMC
+    from dcvc_tpu.models.runtime import DmcRuntime
+    from dcvc_tpu.utils.stream import pack_p, unpack_p
+
+    module = DMC()
+    x0 = jnp.zeros((1, 64, 64, 3))
+    dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
+            "ref_y": None, "ref_mv_y": None}
+    qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
+    params = jax.jit(module.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+    rt = DmcRuntime(module, params)
+    rt.update(force=True)
+    ref = _img(seed=12)
+    x = _img(seed=12, shift=1)
+    dpb = {"ref_frame": ref, "ref_feature": None, "ref_mv_feature": None,
+           "ref_y": None, "ref_mv_y": None}
+    comp = rt.compress(x, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
+    data = pack_p(comp["bit_stream"], True, 0, 1)
+    q_in_ckpt, q_index, frame_idx, stream = unpack_p(data)
+    dec = rt.decompress(dpb, stream, 64, 64, q_in_ckpt, q_index, frame_idx)
+    return (data, np.asarray(dec["dpb"]["ref_frame"]),
+            np.asarray(comp["dpb"]["ref_frame"]))
+
+
+def _case_hem_p():
+    from dcvc_tpu.models.video_hem import DMCHem
+    from dcvc_tpu.models.runtime import HemVideoRuntime
+    from dcvc_tpu.utils.stream import get_rounded_q
+
+    module = DMCHem(channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_y": None,
+            "ref_mv_y": None}
+    params = module.init(jax.random.PRNGKey(0), x0, dpb0, jnp.ones(()),
+                         jnp.ones(()))
+    rt = HemVideoRuntime(module, params)
+    rt.update(force=True)
+    ref = _img(seed=13)
+    x = _img(seed=13, shift=1)
+    dpb = {"ref_frame": ref, "ref_feature": None, "ref_y": None,
+           "ref_mv_y": None}
+    mv_q, mv_q_idx = get_rounded_q(0.9)
+    y_q, y_q_idx = get_rounded_q(0.8)
+    comp = rt.compress(x, dpb, mv_q, y_q)
+    # HEM P header: rounded-q ushorts + length (HEM stream_helper pattern)
+    data = (struct.pack(">2H", y_q_idx, mv_q_idx)
+            + struct.pack(">I", len(comp["bit_stream"]))
+            + bytes(comp["bit_stream"]))
+    y_i, mv_i = struct.unpack(">2H", data[:4])
+    length = struct.unpack(">I", data[4:8])[0]
+    stream = data[8:8 + length]
+    dec = rt.decompress(dpb, stream, 64, 64, mv_i / 100, y_i / 100)
+    return (data, np.asarray(dec["dpb"]["ref_frame"]),
+            np.asarray(comp["dpb"]["ref_frame"]))
+
+
+def _case_tcm_p():
+    from dcvc_tpu.models.video_tcm import DMCTcm
+    from dcvc_tpu.models.runtime import TcmVideoRuntime
+
+    module = DMCTcm(channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = module.init(jax.random.PRNGKey(0), x0, x0, None)
+    rt = TcmVideoRuntime(module, params)
+    rt.update(force=True)
+    ref = _img(seed=14)
+    x = _img(seed=14, shift=1)
+    comp = rt.compress(x, ref, None)
+    data = bytes(comp["bit_stream"])  # TCM writes the bare payload
+    dec = rt.decompress(ref, None, data, 64, 64)
+    return data, np.asarray(dec["x_hat"]), np.asarray(comp["x_hat"])
+
+
+def _case_gen1_p():
+    from dcvc_tpu.models.video_dcvc import DCVCNet
+    from dcvc_tpu.models.runtime import DcvcGen1Runtime
+    from dcvc_tpu.utils.stream import pack_strings, unpack_strings
+
+    module = DCVCNet(channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = module.init(jax.random.PRNGKey(0), x0, x0)
+    rt = DcvcGen1Runtime(module, params)
+    rt.update(force=True)
+    ref = _img(seed=15)
+    x = _img(seed=15, shift=1)
+    comp = rt.compress(ref, x)
+    data = pack_strings([comp["mv_z_string"], comp["mv_y_string"],
+                         comp["z_string"], comp["y_string"]])
+    mv_z, mv_y, z, y = unpack_strings(data)
+    dec = rt.decompress(ref, mv_y, mv_z, y, z, 64, 64)
+    return (data, np.asarray(dec["recon_image"]),
+            np.asarray(comp["recon_image"]))
+
+
+def _case_hem_intra():
+    from dcvc_tpu.models.intra_hem import IntraNoARHem
+    from dcvc_tpu.models.runtime import EvcCodecRuntime
+    from dcvc_tpu.utils.stream import get_rounded_q
+
+    module = IntraNoARHem(N=32)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         jnp.ones(()))
+    rt = EvcCodecRuntime(module, params)
+    rt.update(force=True)
+    x = _img(seed=16)
+    q, q_idx = get_rounded_q(0.73)
+    comp = rt.compress(x, jnp.asarray(q))
+    # ushort-q I header (HEM/EVC image format)
+    data = (struct.pack(">2I", 64, 64) + struct.pack(">H", q_idx)
+            + struct.pack(">I", len(comp["bit_stream"]))
+            + bytes(comp["bit_stream"]))
+    h, w = struct.unpack(">2I", data[:8])
+    q_i = struct.unpack(">H", data[8:10])[0]
+    length = struct.unpack(">I", data[10:14])[0]
+    dec = rt.decompress(data[14:14 + length], h, w, jnp.asarray(q_i / 100))
+    return data, np.asarray(dec["x_hat"]), np.asarray(comp["x_hat"])
+
+
+CASES = {
+    "dc_intra": _case_dc_intra,
+    "dc_p": _case_dc_p,
+    "hem_p": _case_hem_p,
+    "tcm_p": _case_tcm_p,
+    "gen1_p": _case_gen1_p,
+    "hem_intra": _case_hem_intra,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden_bin(name):
+    path = GOLDEN / f"{name}.bin"
+    assert path.exists(), (
+        f"missing golden file {path} — run `python {__file__} --regen`")
+    golden = path.read_bytes()
+    data, dec_recon, enc_recon = CASES[name]()
+    assert hashlib.sha256(data).hexdigest() == \
+        hashlib.sha256(golden).hexdigest(), (
+        f"{name}: regenerated stream differs from the committed golden "
+        f"({len(data)} vs {len(golden)} bytes) — a codec-side change "
+        f"altered the bitstream; if intentional, regen the goldens")
+    assert data == golden
+    # decode-back: the committed bytes still reconstruct the encoder recon
+    np.testing.assert_allclose(dec_recon, enc_recon, atol=1e-5)
+
+
+def test_manifest_matches_files():
+    assert MANIFEST.exists()
+    manifest = json.loads(MANIFEST.read_text())
+    assert set(manifest) == set(CASES)
+    for name, entry in manifest.items():
+        data = (GOLDEN / f"{name}.bin").read_bytes()
+        assert len(data) == entry["bytes"], name
+        assert hashlib.sha256(data).hexdigest() == entry["sha256"], name
+
+
+def _regen():
+    GOLDEN.mkdir(exist_ok=True)
+    manifest = {}
+    for name, fn in sorted(CASES.items()):
+        data, dec_recon, enc_recon = fn()
+        np.testing.assert_allclose(dec_recon, enc_recon, atol=1e-5)
+        (GOLDEN / f"{name}.bin").write_bytes(data)
+        manifest[name] = {"bytes": len(data),
+                          "sha256": hashlib.sha256(data).hexdigest()}
+        print(f"{name}: {len(data)} bytes {manifest[name]['sha256'][:16]}")
+    MANIFEST.write_text(json.dumps(manifest, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        import conftest  # noqa: F401  (CPU platform + virtual devices)
+        _regen()
+    else:
+        print(__doc__)
