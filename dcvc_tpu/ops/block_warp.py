@@ -161,46 +161,56 @@ def _prep(im, flow, BH, BW, Dh, Rv, base_mode, pad):
     return src, apl, bpl, wy, wx, sy_t, sx_t, rx, ma, mb, dims
 
 
-def _kernel(BH, BW, Dh, Rv, C, depth, total, interpret,
+def _kernel(BH, BW, Dh, Rv, Cg, depth, total, interpret,
             sy_ref, sx_ref, rx_ref, ma_ref, mb_ref,
             apl_ref, bpl_ref, wy_ref, wx_ref, src_ref, out_ref,
             scratch, sems):
     m = pl.program_id(0)
     bi = pl.program_id(1)
     bj = pl.program_id(2)
+    cg = pl.program_id(3)
     nby = pl.num_programs(1)
     nbx = pl.num_programs(2)
+    ncg = pl.num_programs(3)
     BHD = _ceil_to(BH + 2 * Rv + 2 + 7, 8)
     KD = _ceil_to(BW + 2 * Dh + 2 + 127, 128)
+    # flat pipeline index over (block, channel-group): windows are DMA'd per
+    # Cg-channel slice so wide-channel warps (mc/context sites, C=48..96)
+    # stay inside the ~16 MB/core VMEM budget
     g = (m * nby + bi) * nbx + bj
-    slot = jax.lax.rem(g, depth)
+    gg = g * ncg + cg
+    slot = jax.lax.rem(gg, depth)
 
     # Scalar-prefetch arrays are FLAT (total,) — SMEM operands are padded
     # to a 128-wide last dim, so a (M, nby, nbx) layout with small nbx
     # blows the 1 MiB SMEM budget 32x at 1080p ("Allocation would exceed
     # memory (space=smem), tag='prefetched SMEM operand'").
-    def start_dma(n, sl):
+    def start_dma(nn, sl):
         # offsets written as tile_idx * tile so Mosaic can PROVE alignment
+        n = jax.lax.div(nn, ncg)
+        cgn = jax.lax.rem(nn, ncg)
         mm = jax.lax.div(jax.lax.div(n, nbx), nby)
         pltpu.make_async_copy(
-            src_ref.at[mm, :, pl.ds(sy_ref[n] * 8, BHD),
+            src_ref.at[mm, pl.ds(cgn * Cg, Cg),
+                       pl.ds(sy_ref[n] * 8, BHD),
                        pl.ds(sx_ref[n] * 128, KD)],
             scratch.at[sl], sems.at[sl]).start()
 
     # depth-D pipeline: keep D-1 window DMAs in flight so the per-block DMA
     # latency (measured ~114us fixed for a dynamic-offset start/wait copy,
-    # tools/diag_dma.py) amortises across D-1 blocks of resolve work.
-    @pl.when(g == 0)
+    # tools/diag_dma.py) amortises across D-1 steps of resolve work.
+    @pl.when(gg == 0)
     def _():
         for k in range(min(depth - 1, total)):  # static unroll
             start_dma(jnp.int32(k), jnp.int32(k % depth))
 
-    @pl.when(g + depth - 1 < total)
+    @pl.when(gg + depth - 1 < total)
     def _():
-        gn = g + depth - 1
+        gn = gg + depth - 1
         start_dma(gn, jax.lax.rem(gn, depth))
 
-    pltpu.make_async_copy(src_ref.at[m, :, pl.ds(sy_ref[g] * 8, BHD),
+    pltpu.make_async_copy(src_ref.at[m, pl.ds(cg * Cg, Cg),
+                                     pl.ds(sy_ref[g] * 8, BHD),
                                      pl.ds(sx_ref[g] * 128, KD)],
                           scratch.at[slot], sems.at[slot]).wait()
 
@@ -220,7 +230,7 @@ def _kernel(BH, BW, Dh, Rv, C, depth, total, interpret,
         window = jnp.roll(window, shift, axis=2)
     else:
         window = pltpu.roll(window, shift, 2)
-    out_ref[0] = jnp.zeros((C, BH, BW), out_ref.dtype)
+    out_ref[0] = jnp.zeros((Cg, BH, BW), out_ref.dtype)
     one = jnp.float32(1.0)
     for a in range(1, 2 * Rv + 9):   # apl carries the sublane residual
         wa = (jnp.where(apl == a, one - wy, 0.0)
@@ -271,11 +281,21 @@ def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
     src, apl, bpl, wy, wx, sy_t, sx_t, rx, ma, mb, d = _prep(
         im, flow, BH, BW, Dh, Rv, base_mode, pad)
 
-    grid = (d["M"], d["nby"], d["nbx"])
-    total = d["M"] * d["nby"] * d["nbx"]
+    # channel-group size: the window scratch must fit VMEM (~16 MB/core)
+    # next to the rolled window value and the output block; wide-channel
+    # warps (context/mc sites, C=48..96) are split across an extra grid dim
+    win_bytes_per_ch = d["BHD"] * d["KD"] * src.dtype.itemsize
+    budget = 8 * 1024 * 1024
+    Cg = max(1, min(C, budget // max(1, win_bytes_per_ch * (depth + 2))))
+    while C % Cg:
+        Cg -= 1
+    ncg = C // Cg
+
+    grid = (d["M"], d["nby"], d["nbx"], ncg)
+    total = d["M"] * d["nby"] * d["nbx"] * ncg
     depth = max(2, min(depth, total))
-    blk = lambda mi, bi, bj, *_: (mi, bi, bj)
-    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, C, depth, total,
+    blk = lambda mi, bi, bj, cgi, *_: (mi, bi, bj)
+    kernel = functools.partial(_kernel, BH, BW, Dh, Rv, Cg, depth, total,
                                interpret)
     out = pl.pallas_call(
         kernel,
@@ -289,11 +309,12 @@ def _block_warp_jit(im, flow, Dh, Rv, BH, BW, base_mode, pad, depth,
                 pl.BlockSpec((1, BH, BW), blk, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, C, BH, BW),
-                                   lambda mi, bi, bj, *_: (mi, 0, bi, bj),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (1, Cg, BH, BW),
+                lambda mi, bi, bj, cgi, *_: (mi, cgi, bi, bj),
+                memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((depth, C, d["BHD"], d["KD"]), src.dtype),
+                pltpu.VMEM((depth, Cg, d["BHD"], d["KD"]), src.dtype),
                 pltpu.SemaphoreType.DMA((depth,)),
             ],
         ),
