@@ -37,13 +37,23 @@ from dcvc_tpu.models.video_dc import DMC
 
 REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
 
-# RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md): row-tile warp
-# — passes the end-metric gate on reference-trained dynamics with 20x+
-# margin (|dPSNR| <= 0.005 dB, |dbpp| <= 0.15%); recon drift absorbed by
-# the residual coder. Exact warp everywhere else.
-from dcvc_tpu.ops.warp import RD_GATED_TILE_MODE
+# RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md §3b/§4): the
+# Pallas DMA block warp at ALL warp sites (OffsetDiversity + mc + SPyNet)
+# — passes the end-metric gate on reference-trained dynamics with the best
+# margin of any approximate mode (|dPSNR| <= 0.0002 dB, 85-88 dB recon
+# drift); recon drift absorbed by the residual coder. Exact warp
+# everywhere else. DCVC_TPU_BENCH_WARP overrides the headline od-site
+# mode; "all:<mode>" applies <mode> to all three sites.
+from dcvc_tpu.ops.warp import RD_GATED_BLOCK_MODE, RD_GATED_TILE_MODE
 
-TILE_MODE = os.environ.get("DCVC_TPU_BENCH_WARP", RD_GATED_TILE_MODE)
+_BW = os.environ.get("DCVC_TPU_BENCH_WARP", "all:" + RD_GATED_BLOCK_MODE)
+if _BW.startswith("all:"):
+    HEADLINE_MODES = (_BW[4:],) * 3
+elif _BW.startswith("alltile:"):
+    HEADLINE_MODES = ("tile:" + _BW.split(":", 1)[1],) * 3
+else:
+    HEADLINE_MODES = (_BW, None, None)
+TILE_MODE = _BW  # recorded in the artifact's warp_mode field
 
 
 def _wait_for_device(max_tries: int = 8, delay: float = 30.0):
@@ -274,7 +284,7 @@ def main():
     }
 
     def _headline():
-        module, params, qs = _build(TILE_MODE)
+        module, params, qs = _build(*HEADLINE_MODES)
         fps = bench_estimated(module, params, qs, H, W)
         return fps, module, params
 
@@ -298,16 +308,16 @@ def main():
     extra["est_fps_exact_warp"] = _resilient("exact_warp", _exact)
     _checkpoint_partial(payload)
 
-    # All-sites tile candidate (RDNOTES §4: alltile:32,1 measured 0.99 fps
-    # but ships opt-in on accuracy class) — recorded so the BENCH artifact
-    # carries the A/B even before any default flip.
-    alt = os.environ.get("DCVC_TPU_BENCH_ALT", "alltile:32,1,median")
+    # Previous default (tile family optimum) — recorded so each BENCH
+    # artifact carries the A/B against the prior round's shipped mode.
+    alt = os.environ.get("DCVC_TPU_BENCH_ALT", RD_GATED_TILE_MODE)
     if alt:
-        mode = alt.split(":", 1)[-1]
         if alt.startswith("alltile:"):
-            modes = ("tile:" + mode,) * 3
+            modes = ("tile:" + alt.split(":", 1)[1],) * 3
+        elif alt.startswith("all:"):
+            modes = (alt[4:],) * 3
         else:
-            modes = (alt, alt, alt)
+            modes = (alt, None, None)  # od-site only (the r2 default shape)
 
         def _alt():
             m, p, q = _build(*modes)

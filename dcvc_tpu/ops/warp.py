@@ -226,19 +226,54 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 # accuracy class (43-48 dB) is below "visually exact".
 RD_GATED_TILE_MODE = "tile:32,2,median"
 
+# The Pallas DMA block warp (ops/block_warp.py) replaced the tile mode as
+# the shipped TPU inference default once it compiled on hardware
+# (2026-08-19, out/r3_inmodel_ab2.log): it has the best RD-gate margin of
+# ANY approximate mode (85.5-88 dB recon drift on reference-trained
+# dynamics, bit-exact on pan/zoom/turbulence families; RDNOTES.md §3b) and
+# the best wall-clock — in-model 1080p A/B: exact 0.632 fps, tile:32,2
+# 0.905, block at OD only 1.43, od+mc 1.62, od+mc+me 1.73. The `mean`
+# base (1.78 fps) stays opt-in: median4 matches the median family's
+# bit-exact synthetic stats. Unlike the tile family (whose fixed per-run
+# resolve overhead LOSES at the channel-wide mc/me sites, RDNOTES §4),
+# the block kernel wins at every warp site, so mc/me default to it too.
+RD_GATED_BLOCK_MODE = "block:4,4,64,128,median4"
 
-def default_od_warp_mode() -> str:
-    """The OffsetDiversity warp mode inference harnesses should use:
-    the RD-gated row-tile approximation on TPU-class backends (where the
-    exact warp is gather-issue-bound), the exact warp on cpu/gpu (which
-    vectorize advanced-indexing gathers fine). Override per-run with
-    DCVC_TPU_OD_WARP or the CLIs' --od_warp flag."""
-    env = os.environ.get("DCVC_TPU_OD_WARP")
+
+def _default_warp_mode(env_var: str) -> str:
+    env = os.environ.get(env_var)
     if env:
         return env
     if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         return "exact"
-    return RD_GATED_TILE_MODE
+    return RD_GATED_BLOCK_MODE
+
+
+def default_od_warp_mode() -> str:
+    """The OffsetDiversity warp mode inference harnesses should use:
+    the RD-gated Pallas block warp on TPU-class backends (where the exact
+    warp is gather-issue-bound), the exact warp on cpu/gpu (which
+    vectorize advanced-indexing gathers fine). Override per-run with
+    DCVC_TPU_OD_WARP or the CLIs' --od_warp flag."""
+    return _default_warp_mode("DCVC_TPU_OD_WARP")
+
+
+def default_mc_warp_mode() -> str:
+    """Default for the motion-compensation warps (warpframe + context1/2/3,
+    video_dc.py:motion_compensation and the HEM/TCM/gen-1 analogues).
+    Same RD-gated block mode: the od+mc gate is identical to od-only
+    (decoded motion fields are smooth, the kernel is in its bit-exact
+    regime there; RDNOTES §3b) and it measured 1.62 vs 1.43 fps.
+    Override with DCVC_TPU_MC_WARP or --mc_warp."""
+    return _default_warp_mode("DCVC_TPU_MC_WARP")
+
+
+def default_me_warp_mode() -> str:
+    """Default for the SPyNet motion-estimation pyramid warps
+    (video_net.py:MESpynet). Gate: od+mc+me identical to od+mc
+    (RDNOTES §3b); measured 1.73 vs 1.62 fps.
+    Override with DCVC_TPU_ME_WARP or --me_warp."""
+    return _default_warp_mode("DCVC_TPU_ME_WARP")
 
 
 def resolve_warp_fn(mode: str):

@@ -86,11 +86,21 @@ class CodecServer:
         self.p_rt = None
         if p_frame_model:
             p_kwargs = {}
-            if p_frame_model == "dmc_dc":
-                from ..ops.warp import default_od_warp_mode
+            from ..ops.warp import (default_mc_warp_mode,
+                                    default_me_warp_mode,
+                                    default_od_warp_mode)
 
+            if p_frame_model == "dmc_dc":
                 p_kwargs["od_warp_mode"] = (default_od_warp_mode()
                                             if od_warp == "auto" else od_warp)
+                me = default_me_warp_mode()
+                if me != "exact":
+                    p_kwargs["me_warp_mode"] = me
+            if p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
+                                 "dcvc_gen1"):
+                mc = default_mc_warp_mode()
+                if mc != "exact":
+                    p_kwargs["mc_warp_mode"] = mc
             _, _, p_rt = build(p_frame_model, **p_kwargs)
             if model_path_p:
                 p_rt.params = load_params(model_path_p, p_rt.params,

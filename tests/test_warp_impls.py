@@ -236,17 +236,29 @@ def test_tile_warp_chunked_matches_unchunked():
 
 
 def test_default_od_warp_mode_resolver(monkeypatch):
-    """Inference default: exact on cpu/gpu, the RD-gated tile mode on TPU
-    backends (RDNOTES.md gate), env override wins everywhere."""
-    from dcvc_tpu.ops.warp import RD_GATED_TILE_MODE, default_od_warp_mode
+    """Inference default: exact on cpu/gpu, the RD-gated Pallas block mode
+    on TPU backends (RDNOTES.md §3b/§4 gate), env override wins
+    everywhere; mc/me sites resolve through their own env vars."""
+    from dcvc_tpu.ops.warp import (RD_GATED_BLOCK_MODE, RD_GATED_TILE_MODE,
+                                   default_mc_warp_mode,
+                                   default_me_warp_mode,
+                                   default_od_warp_mode)
 
     monkeypatch.delenv("DCVC_TPU_OD_WARP", raising=False)
     assert jax.default_backend() == "cpu"  # conftest pins the CPU mesh
     assert default_od_warp_mode() == "exact"
+    assert default_mc_warp_mode() == "exact"
+    assert default_me_warp_mode() == "exact"
     monkeypatch.setenv("DCVC_TPU_OD_WARP", "tile:32,2,median")
     assert default_od_warp_mode() == "tile:32,2,median"
-    # the gated constant must parse as a tile mode OffsetDiversity accepts
+    # the gated constants must parse as modes resolve_warp_fn accepts
     assert RD_GATED_TILE_MODE.startswith("tile:")
+    assert RD_GATED_BLOCK_MODE.startswith("block:")
     monkeypatch.delenv("DCVC_TPU_OD_WARP", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
-    assert default_od_warp_mode() == RD_GATED_TILE_MODE
+    assert default_od_warp_mode() == RD_GATED_BLOCK_MODE
+    assert default_mc_warp_mode() == RD_GATED_BLOCK_MODE
+    assert default_me_warp_mode() == RD_GATED_BLOCK_MODE
+    monkeypatch.setenv("DCVC_TPU_MC_WARP", "exact")
+    assert default_mc_warp_mode() == "exact"
+    assert default_me_warp_mode() == RD_GATED_BLOCK_MODE

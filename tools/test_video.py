@@ -44,15 +44,15 @@ def parse_args():
                         "(reference default), 1 bilinear (RD cross-check)")
     p.add_argument("--od_warp", default="auto",
                    help="OffsetDiversity warp mode for dmc_dc: 'auto' = "
-                        "the RD-gated row-tile mode on TPU backends, exact "
-                        "on cpu/gpu (see RDNOTES.md); or 'exact' / "
+                        "the RD-gated Pallas block mode on TPU backends, "
+                        "exact on cpu/gpu (see RDNOTES.md); or 'exact' / "
                         "'tile:T,R[,median|mean]' / "
-                        "'block:Dh,Rv[,BH,BW]' explicitly")
-    p.add_argument("--mc_warp", default="exact",
+                        "'block:Dh,Rv[,BH,BW[,base]]' explicitly")
+    p.add_argument("--mc_warp", default="auto",
                    help="motion-compensation warp mode (warpframe + "
                         "context warps, dmc_dc/hem/tcm/gen1): same grammar "
                         "as --od_warp")
-    p.add_argument("--me_warp", default="exact",
+    p.add_argument("--me_warp", default="auto",
                    help="SPyNet pyramid warp mode (dmc_dc): same grammar "
                         "as --od_warp")
     return p.parse_args()
@@ -99,18 +99,24 @@ def main():
     p_rt = None
     if not args.force_intra:
         p_kwargs = {}
-        if args.p_frame_model == "dmc_dc":
-            from dcvc_tpu.ops.warp import default_od_warp_mode
+        from dcvc_tpu.ops.warp import (default_mc_warp_mode,
+                                       default_me_warp_mode,
+                                       default_od_warp_mode)
 
-            p_kwargs["od_warp_mode"] = (default_od_warp_mode()
-                                        if args.od_warp == "auto"
-                                        else args.od_warp)
-            if args.me_warp != "exact":
-                p_kwargs["me_warp_mode"] = args.me_warp
-        if (args.mc_warp != "exact"
-                and args.p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
-                                           "dcvc_gen1")):
-            p_kwargs["mc_warp_mode"] = args.mc_warp
+        def _mode(flag, default_fn):
+            return default_fn() if flag == "auto" else flag
+
+        if args.p_frame_model == "dmc_dc":
+            p_kwargs["od_warp_mode"] = _mode(args.od_warp,
+                                             default_od_warp_mode)
+            me = _mode(args.me_warp, default_me_warp_mode)
+            if me != "exact":
+                p_kwargs["me_warp_mode"] = me
+        if args.p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
+                                  "dcvc_gen1"):
+            mc = _mode(args.mc_warp, default_mc_warp_mode)
+            if mc != "exact":
+                p_kwargs["mc_warp_mode"] = mc
         _, _, p_rt = build(args.p_frame_model, **p_kwargs)
         if args.model_path_p:
             from dcvc_tpu.utils.checkpoint import load_params
