@@ -22,6 +22,7 @@ number is recorded.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -150,7 +151,13 @@ def bench_real_coding(module, params, H, W, n_iter=3):
     (reference brackets: video_model.py:526-540 + test_video.py:224-227).
     stream_part=3 + ec_thread are the same protocol-legal knobs the reference
     CLI exposes (test_video.py:29-31); on the 1-vCPU bench host the 3-part
-    stream rides the interleaved single-thread rANS decode (~1.25x)."""
+    stream rides the interleaved single-thread rANS decode (~1.25x).
+
+    Runs in a FRESH SUBPROCESS (--child real_coding) with the CODING warp
+    defaults: measured on clean hosts (out/r3_diag_pattern*.log), a process
+    loaded with many live executables degrades every compress/decompress
+    roundtrip 4-8x, and Pallas-bearing programs another 3-4x — both
+    tunnel-dispatch artifacts the estimated-bits headline does not see."""
     from dcvc_tpu.models.runtime import DmcRuntime
 
     rt = DmcRuntime(module, params, ec_thread=True, stream_part=3)
@@ -270,6 +277,39 @@ def bench_evc_real(H, W, n_iter=3, variant="evc_SS"):
     }
 
 
+def _run_child(section, timeout=2700):
+    """Run one measurement section in a fresh interpreter (fresh remote
+    session, no resident-executable interference); the persistent
+    compilation cache keeps the child's compiles cheap."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", section],
+        capture_output=True, text=True, timeout=timeout)
+    for line in r.stdout.splitlines():
+        if line.startswith("CHILD_JSON:"):
+            return json.loads(line[len("CHILD_JSON:"):])
+    raise RuntimeError(
+        f"child {section} rc={r.returncode}: {(r.stderr or r.stdout)[-400:]}")
+
+
+def child_main(section):
+    _wait_for_device()
+    H, W = 1088, 1920
+    if section == "real_coding":
+        from dcvc_tpu.ops.warp import default_coding_warp_modes
+
+        od, mc, me = default_coding_warp_modes()
+        module, params, _ = _build(od, mc, me)
+        out = bench_real_coding(module, params, H, W)
+        out["real_warp_mode"] = od
+    elif section == "evc_real":
+        out = bench_evc_real(H, W)
+    else:
+        raise SystemExit(f"unknown child section {section}")
+    print("CHILD_JSON:" + json.dumps(out), flush=True)
+
+
 def main():
     _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
@@ -327,14 +367,13 @@ def main():
         extra["alt_mode"] = alt
         _checkpoint_partial(payload)
 
-    if module is not None:
-        extra_rc = _resilient(
-            "real_coding", lambda: bench_real_coding(module, params, H, W))
-        if isinstance(extra_rc, dict):
-            extra.update(extra_rc)
-        else:
-            extra["real_coding"] = extra_rc
-        _checkpoint_partial(payload)
+    extra_rc = _resilient(
+        "real_coding", lambda: _run_child("real_coding"), retries=3)
+    if isinstance(extra_rc, dict):
+        extra.update(extra_rc)
+    else:
+        extra["real_coding"] = extra_rc
+    _checkpoint_partial(payload)
 
     extra["intra_dc_est_fps"] = _resilient(
         "intra", lambda: round(bench_intra(H, W), 3))
@@ -342,7 +381,8 @@ def main():
     extra["evc_ss_est_fps"] = _resilient(
         "evc", lambda: round(bench_evc(H, W), 3))
     _checkpoint_partial(payload)
-    evc_rc = _resilient("evc_real", lambda: bench_evc_real(H, W))
+    evc_rc = _resilient("evc_real", lambda: _run_child("evc_real"),
+                        retries=3)
     if isinstance(evc_rc, dict):
         extra.update(evc_rc)
     else:
@@ -364,4 +404,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_main(sys.argv[2])
+    else:
+        main()

@@ -86,21 +86,20 @@ class CodecServer:
         self.p_rt = None
         if p_frame_model:
             p_kwargs = {}
-            from ..ops.warp import (default_mc_warp_mode,
-                                    default_me_warp_mode,
-                                    default_od_warp_mode)
+            # serving drives the WRITE-STREAM path (compress/decompress),
+            # so the coding warp defaults apply, not the forward defaults
+            from ..ops.warp import default_coding_warp_modes
 
+            od_d, mc_d, me_d = default_coding_warp_modes()
             if p_frame_model == "dmc_dc":
-                p_kwargs["od_warp_mode"] = (default_od_warp_mode()
-                                            if od_warp == "auto" else od_warp)
-                me = default_me_warp_mode()
-                if me != "exact":
-                    p_kwargs["me_warp_mode"] = me
+                p_kwargs["od_warp_mode"] = (od_d if od_warp == "auto"
+                                            else od_warp)
+                if me_d and me_d != "exact":
+                    p_kwargs["me_warp_mode"] = me_d
             if p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
                                  "dcvc_gen1"):
-                mc = default_mc_warp_mode()
-                if mc != "exact":
-                    p_kwargs["mc_warp_mode"] = mc
+                if mc_d and mc_d != "exact":
+                    p_kwargs["mc_warp_mode"] = mc_d
             _, _, p_rt = build(p_frame_model, **p_kwargs)
             if model_path_p:
                 p_rt.params = load_params(model_path_p, p_rt.params,

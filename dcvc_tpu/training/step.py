@@ -81,21 +81,13 @@ def _takes_two_q(module) -> bool:
     return "IntraNoAR" in type(module).__name__
 
 
-def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
-                        detach_between_frames: bool = True,
-                        remat: bool = False, quant_mode: str = "ste",
-                        distortion: str = "mse"):
-    """Cascaded P-frame training step over a [B, T, H, W, C] clip.
-
-    Frame 0 is the (already reconstructed) reference; frames 1..T-1 are coded
-    sequentially with the DPB threaded through; the loss sums per-frame RD.
-    With ``detach_between_frames`` the recurrent state is stop-gradiented
-    frame to frame (the fork's pre-fullgop stages, :190-191).
-    ``quant_mode="noise"`` enables the fork's training rate surrogate (bits
-    from noise-quantized residuals while the recon path stays STE, HEM
-    video_model.py:466-471); the step then takes an extra PRNG ``key``.
-    ``distortion="ssim"`` trains on (1 - MS-SSIM)/64 (train_CANFVC_DMC.py:74).
-    """
+def make_dmc_cascade_loss(module, cascade_frames: int = 2,
+                          detach_between_frames: bool = True,
+                          remat: bool = False, quant_mode: str = "ste",
+                          distortion: str = "mse"):
+    """The cascaded RD loss used by :func:`make_dmc_train_step`, exposed so
+    callers (the multi-chip dryrun's sharded-vs-unsharded grad parity) can
+    ``jax.value_and_grad`` it without paying a second optimizer graph."""
 
     def loss_fn(params, clip, q_scales, lambdas, key):
         x0 = clip[:, 0]
@@ -123,6 +115,29 @@ def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
                 dpb = jax.tree.map(jax.lax.stop_gradient, dpb)
         loss = total / cascade_frames
         return loss, {"bpp": jnp.mean(jnp.stack(bpps)), "loss": loss}
+
+    return loss_fn
+
+
+def make_dmc_train_step(module, optimizer, cascade_frames: int = 2,
+                        detach_between_frames: bool = True,
+                        remat: bool = False, quant_mode: str = "ste",
+                        distortion: str = "mse"):
+    """Cascaded P-frame training step over a [B, T, H, W, C] clip.
+
+    Frame 0 is the (already reconstructed) reference; frames 1..T-1 are coded
+    sequentially with the DPB threaded through; the loss sums per-frame RD.
+    With ``detach_between_frames`` the recurrent state is stop-gradiented
+    frame to frame (the fork's pre-fullgop stages, :190-191).
+    ``quant_mode="noise"`` enables the fork's training rate surrogate (bits
+    from noise-quantized residuals while the recon path stays STE, HEM
+    video_model.py:466-471); the step then takes an extra PRNG ``key``.
+    ``distortion="ssim"`` trains on (1 - MS-SSIM)/64 (train_CANFVC_DMC.py:74).
+    """
+
+    loss_fn = make_dmc_cascade_loss(module, cascade_frames,
+                                    detach_between_frames, remat,
+                                    quant_mode, distortion)
 
     def train_step(params, opt_state, clip, q_scales, lambdas, key=None):
         if key is None:

@@ -202,7 +202,23 @@ def run_dmc(args):
         # "mc<spec>" applies <spec> to OffsetDiversity + the motion-
         # compensation warps (warpframe + context1/2/3); "all<spec>" also
         # to the SPyNet pyramid warps; bare "<spec>" to OD only.
-        if mode.startswith("all"):
+        # --model hem/tcm: those generations have no OffsetDiversity, so
+        # every mode string gates their mc (+ SPyNet via MESpynet) warps —
+        # the VERDICT r2 #3 "HEM/TCM datapoint for the mc_warp modes".
+        spec = mode
+        for pre in ("all", "mc"):
+            if mode.startswith(pre) and mode != "exact":
+                spec = mode[len(pre):]
+                break
+        if args.model == "hem":
+            from dcvc_tpu.models.video_hem import DMCHem
+
+            module = DMCHem(mc_warp_mode=None if spec == "exact" else spec)
+        elif args.model == "tcm":
+            from dcvc_tpu.models.video_tcm import DMCTcm
+
+            module = DMCTcm(mc_warp_mode=None if spec == "exact" else spec)
+        elif mode.startswith("all"):
             module = DMC(od_warp_mode=mode[3:], mc_warp_mode=mode[3:],
                          me_warp_mode=mode[3:])
         elif mode.startswith("mc"):
@@ -210,15 +226,24 @@ def run_dmc(args):
         else:
             module = DMC(od_warp_mode=mode)
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_mv_feature": None,
-                "ref_y": None, "ref_mv_y": None}
         qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
         init = module.init
         if jax.default_backend() != "cpu":
             # one compiled program on accelerators; eager on CPU (the jitted
             # whole-init program compiles pathologically slowly there)
-            init = jax.jit(init, static_argnums=(4,))
-        params = init(jax.random.PRNGKey(0), x0, dpb0, qs, 0)
+            init = jax.jit(init, static_argnums=(4,) if args.model == "dmc"
+                           else None)
+        if args.model == "hem":
+            dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_y": None,
+                    "ref_mv_y": None}
+            params = init(jax.random.PRNGKey(0), x0, dpb0,
+                          jnp.ones(()), jnp.ones(()))
+        elif args.model == "tcm":
+            params = init(jax.random.PRNGKey(0), x0, x0, None)
+        else:
+            dpb0 = {"ref_frame": x0, "ref_feature": None,
+                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+            params = init(jax.random.PRNGKey(0), x0, dpb0, qs, 0)
         if args.restore:
             params = load_params(args.restore, params)
         return module, params, qs
@@ -241,14 +266,26 @@ def run_dmc(args):
     results = {}
     for mode in ["exact"] + args.tile_modes.split("+"):
         module, params, qs = build(mode)
-        fwd = jax.jit(lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1))
+        if args.model == "hem":
+            fwd = jax.jit(lambda p, x, dpb, qs: module.apply(
+                p, x, {k: dpb[k] for k in ("ref_frame", "ref_feature",
+                                           "ref_y", "ref_mv_y")},
+                jnp.ones(()), jnp.ones(())))
+        elif args.model == "tcm":
+            fwd = jax.jit(lambda p, x, dpb, qs: module.apply(
+                p, x, dpb["ref_frame"], None))
+        else:
+            fwd = jax.jit(
+                lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1))
         psnrs, bpps, xhats = [], [], []
         for f0, f1 in pairs:
             x = jnp.asarray(f1)[None]
             dpb = {"ref_frame": jnp.asarray(f0)[None], "ref_feature": None,
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
             out = fwd(params, x, dpb, qs)
-            x_hat = np.asarray(out["dpb"]["ref_frame"], np.float32)
+            rec = (out["dpb"]["ref_frame"] if "dpb" in out
+                   else out["recon_image"])  # TCM has no DPB dict
+            x_hat = np.asarray(rec, np.float32)
             mse = float(np.mean((np.asarray(x, np.float32) - x_hat) ** 2))
             psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
             bpps.append(float(np.mean(np.asarray(out["bpp"], np.float32))))
@@ -346,6 +383,9 @@ def main():
     p.add_argument("--maps", type=int, default=4)
     p.add_argument("--motion", type=float, default=8.0)
     p.add_argument("--restore", default=None)
+    p.add_argument("--model", choices=["dmc", "hem", "tcm"], default="dmc",
+                   help="dmc mode generation: hem/tcm gate the mc warp "
+                        "sites of those generations (no OffsetDiversity)")
     p.add_argument("--data", choices=["synthetic", "motion"],
                    default="synthetic",
                    help="dmc mode eval pairs: layered synthetic, or "

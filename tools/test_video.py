@@ -99,22 +99,32 @@ def main():
     p_rt = None
     if not args.force_intra:
         p_kwargs = {}
-        from dcvc_tpu.ops.warp import (default_mc_warp_mode,
+        from dcvc_tpu.ops.warp import (default_coding_warp_modes,
+                                       default_mc_warp_mode,
                                        default_me_warp_mode,
                                        default_od_warp_mode)
 
-        def _mode(flag, default_fn):
-            return default_fn() if flag == "auto" else flag
+        if args.write_stream:
+            # write-stream runtimes default to the coding modes (tile OD +
+            # exact mc/me): Pallas-bearing programs slow the roundtrip-heavy
+            # real path on remote platforms (see default_coding_warp_modes)
+            od_d, mc_d, me_d = default_coding_warp_modes()
+        else:
+            od_d, mc_d, me_d = (default_od_warp_mode(),
+                                default_mc_warp_mode(),
+                                default_me_warp_mode())
+
+        def _mode(flag, default):
+            return (default or "exact") if flag == "auto" else flag
 
         if args.p_frame_model == "dmc_dc":
-            p_kwargs["od_warp_mode"] = _mode(args.od_warp,
-                                             default_od_warp_mode)
-            me = _mode(args.me_warp, default_me_warp_mode)
+            p_kwargs["od_warp_mode"] = _mode(args.od_warp, od_d)
+            me = _mode(args.me_warp, me_d)
             if me != "exact":
                 p_kwargs["me_warp_mode"] = me
         if args.p_frame_model in ("dmc_dc", "dmc_hem", "dmc_tcm",
                                   "dcvc_gen1"):
-            mc = _mode(args.mc_warp, default_mc_warp_mode)
+            mc = _mode(args.mc_warp, mc_d)
             if mc != "exact":
                 p_kwargs["mc_warp_mode"] = mc
         _, _, p_rt = build(args.p_frame_model, **p_kwargs)

@@ -79,12 +79,26 @@ def main():
         torch.save(tm.state_dict(), flow_path)
 
     # ---------------- phase B: RD training (reference loss shape) -------
+    # periodic checkpoint + resume: the converged-proxy runs (VERDICT r2 #3,
+    # thousands of steps at crop>=256 on a 1-vCPU host) span hours — a kill
+    # must not lose the run. rd_state.pt carries model+opt+step.
+    rd_ckpt = os.path.join(args.workdir, "rd_state.pt")
+    rd_start = 0
     if args.rd_steps:
         opt = torch.optim.Adam(tm.parameters(), lr=1e-4)
+        if os.path.exists(rd_ckpt):
+            st = torch.load(rd_ckpt, weights_only=False)
+            tm.load_state_dict(st["model"])
+            opt.load_state_dict(st["opt"])
+            rd_start = int(st["step"])
+            print(f"phase B: resuming {rd_ckpt} at step {rd_start}",
+                  flush=True)
         lambdas = [85.0, 170.0, 380.0, 840.0]
         t0 = time.time()
         for i, clips in enumerate(data.batches(args.rd_batch_size,
                                                args.rd_steps)):
+            if i < rd_start:
+                continue  # replay the data stream to the resume point
             cur, ref = to_t(clips[:, 1]), to_t(clips[:, 0])
             dpb = {"ref_frame": ref, "ref_feature": None,
                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
@@ -102,6 +116,10 @@ def main():
                       f"mse {float(mse):.5f} bpp "
                       f"{float(out['bpp'].mean()):.3f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
+            if (i + 1) % 100 == 0:
+                torch.save({"model": tm.state_dict(),
+                            "opt": opt.state_dict(), "step": i + 1},
+                           rd_ckpt)
     tm.eval()
     torch.save(tm.state_dict(), state_path)
 
