@@ -78,6 +78,36 @@ def test_video_cli_pair_and_results(img_dir, tmp_path):
     assert summary["ave_all_frame_bpp"] > 0
 
 
+def test_video_cli_worker_pool(tmp_path):
+    """--worker_num process pool (reference test_video.py:276-338): two
+    sequences fan out to two workers, results merge into one JSON."""
+    rng = np.random.default_rng(3)
+    for s in ("s1", "s2"):
+        seq = tmp_path / "seqs" / s
+        seq.mkdir(parents=True)
+        base = (np.kron(rng.random((8, 12, 3)), np.ones((8, 8, 1))) * 255)
+        Image.fromarray(base.astype(np.uint8)).save(seq / "im00001.png")
+    cfg = {"root_path": str(tmp_path / "seqs"),
+           "test_classes": {"t": {"test": 1, "base_path": "",
+                                  "src_type": "png",
+                                  "sequences": {
+                                      s: {"width": 96, "height": 64,
+                                          "frames": 1, "gop": 32}
+                                      for s in ("s1", "s2")}}}}
+    cfg_path = tmp_path / "cfg.json"
+    json.dump(cfg, open(cfg_path, "w"))
+    out = tmp_path / "res.json"
+    r = _run(["tools/test_video.py", "--test_config", str(cfg_path),
+              "--i_frame_model", "intra_hem", "--force_intra",
+              "--rate_num", "1", "--q_indexes", "0",
+              "--worker_num", "2",
+              "--output_path", str(out)], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    for s in ("s1", "s2"):
+        assert res[s]["rate_0"]["ave_all_frame_bpp"] > 0, res[s]
+
+
 def test_video_cli_rejects_mixed_padding(tmp_path):
     cfg = {"root_path": str(tmp_path), "test_classes": {}}
     cfg_path = tmp_path / "cfg.json"

@@ -210,21 +210,25 @@ def run_dmc(args):
             if mode.startswith(pre) and mode != "exact":
                 spec = mode[len(pre):]
                 break
+        dt = jnp.bfloat16 if args.bf16 else None
         if args.model == "hem":
             from dcvc_tpu.models.video_hem import DMCHem
 
-            module = DMCHem(mc_warp_mode=None if spec == "exact" else spec)
+            module = DMCHem(mc_warp_mode=None if spec == "exact" else spec,
+                            dtype=dt)
         elif args.model == "tcm":
             from dcvc_tpu.models.video_tcm import DMCTcm
 
-            module = DMCTcm(mc_warp_mode=None if spec == "exact" else spec)
+            module = DMCTcm(mc_warp_mode=None if spec == "exact" else spec,
+                            dtype=dt)
         elif mode.startswith("all"):
             module = DMC(od_warp_mode=mode[3:], mc_warp_mode=mode[3:],
-                         me_warp_mode=mode[3:])
+                         me_warp_mode=mode[3:], dtype=dt)
         elif mode.startswith("mc"):
-            module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:])
+            module = DMC(od_warp_mode=mode[2:], mc_warp_mode=mode[2:],
+                         dtype=dt)
         else:
-            module = DMC(od_warp_mode=mode)
+            module = DMC(od_warp_mode=mode, dtype=dt)
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
         init = module.init

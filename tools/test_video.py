@@ -38,6 +38,13 @@ def parse_args():
     p.add_argument("--stream_part_p", type=int, default=1)
     p.add_argument("--output_path", type=str, default="out/results.json")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--worker_num", type=int, default=1,
+                   help="intra-host process pool over (sequence x rate) "
+                        "items (reference test_video.py:276-338). Each "
+                        "worker process builds its own runtimes and "
+                        "evaluates a round-robin shard. CPU eval only — a "
+                        "single TPU chip cannot be shared across processes "
+                        "(multi-host TPU fan-out is parallel/jobs.py)")
     p.add_argument("--chroma_upsample_order", type=int, default=0,
                    choices=[0, 1],
                    help="420->444 model-input chroma upsample: 0 nearest "
@@ -58,14 +65,10 @@ def parse_args():
     return p.parse_args()
 
 
-def main():
-    args = parse_args()
+def _build_runtimes(args):
+    """Build + adapt the I/P runtimes for this process (used by the main
+    process and by each --worker_num pool worker)."""
     from dcvc_tpu.models.registry import build
-    from dcvc_tpu.runner.video import EvalConfig, load_dataset_config, run_sequence
-    from dcvc_tpu.utils.results import dump_json
-
-    with open(args.test_config) as f:
-        specs = load_dataset_config(json.load(f))
 
     # pad-to-multiple contract (single source of truth: runner/adapters.py)
     from dcvc_tpu.runner.adapters import pad_for_model as _pad_for
@@ -136,37 +139,117 @@ def main():
         p_rt.ec_thread, p_rt.stream_part = bool(args.ec_thread), args.stream_part_p
         p_rt.update(force=True)
         p_rt = adapt_p_runtime(p_rt)
+    return i_rt, p_rt, pad_multiple
 
+
+def _q_indexes(args):
     if args.q_indexes:
-        q_indexes = args.q_indexes
-    elif args.rate_num == 4:
-        q_indexes = [0, 1, 2, 3]
-    else:
-        import numpy as np
+        return args.q_indexes
+    if args.rate_num == 4:
+        return [0, 1, 2, 3]
+    import numpy as np
 
-        q_indexes = [int(v) for v in np.linspace(0, 63, args.rate_num)]
+    return [int(v) for v in np.linspace(0, 63, args.rate_num)]
+
+
+def _eval_one(i_rt, p_rt, pad_multiple, seq, rate_idx, q, args):
+    from dcvc_tpu.runner.video import EvalConfig, run_sequence
+
+    cfg = EvalConfig(
+        pad_multiple=pad_multiple,
+        intra_period=(1 if args.force_intra else
+                      (args.force_intra_period or seq.gop)),
+        frame_num=(args.force_frame_num if args.force_frame_num > 0
+                   else seq.frames),
+        write_stream=bool(args.write_stream),
+        stream_path=args.stream_path,
+        decoded_path=args.decoded_frame_path,
+        calc_ssim=bool(args.calc_ssim),
+        yuv420_metrics=bool(args.yuv420),
+        verbose=args.verbose,
+        q_in_ckpt=(args.rate_num == 4 and not args.q_indexes),
+        chroma_upsample_order=args.chroma_upsample_order,
+    )
+    return run_sequence(i_rt, p_rt, seq, cfg, q_index_i=q, q_index_p=q)
+
+
+def _pool_worker(args_dict, names_rates):
+    """One --worker_num pool process: rebuild the runtimes once, evaluate a
+    round-robin shard of (sequence, rate) items (the reference's worker
+    protocol, DCVC-DC/test_video.py:276-338; errors recorded per item like
+    parallel/jobs.py:run_sharded instead of killing the pool)."""
+    import argparse as _ap
+
+    args = _ap.Namespace(**args_dict)
+    from dcvc_tpu.runner.video import load_dataset_config
+
+    with open(args.test_config) as f:
+        specs = {s.name: s for s in load_dataset_config(json.load(f))}
+    i_rt, p_rt, pad_multiple = _build_runtimes(args)
+    qi = _q_indexes(args)
+    out = []
+    for name, rate_idx in names_rates:
+        try:
+            s = _eval_one(i_rt, p_rt, pad_multiple, specs[name], rate_idx,
+                          qi[rate_idx], args)
+        except Exception as e:  # noqa: BLE001
+            s = {"error": repr(e)}
+        out.append((name, rate_idx, s))
+    return out
+
+
+def main():
+    args = parse_args()
+    from dcvc_tpu.runner.video import load_dataset_config
+    from dcvc_tpu.utils.results import dump_json
+
+    with open(args.test_config) as f:
+        specs = load_dataset_config(json.load(f))
+    q_indexes = _q_indexes(args)
+
+    if args.worker_num > 1:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            sys.exit("error: --worker_num > 1 is CPU-eval only (a single "
+                     "TPU chip cannot be shared across processes; use "
+                     "parallel/jobs.py for multi-host fan-out)")
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        from dcvc_tpu.parallel.jobs import shard_work
+
+        items = [(seq.name, r) for seq in specs
+                 for r in range(len(q_indexes))]
+        chunks = [shard_work(items, w, args.worker_num)
+                  for w in range(args.worker_num)]
+        results = {}
+        t0 = time.time()
+        with cf.ProcessPoolExecutor(
+                max_workers=args.worker_num,
+                mp_context=mp.get_context("spawn")) as ex:
+            futs = [ex.submit(_pool_worker, vars(args), c)
+                    for c in chunks if c]
+            for f in futs:
+                for name, rate_idx, summary in f.result():
+                    results.setdefault(name, {})[f"rate_{rate_idx}"] = summary
+                    if args.verbose and "error" not in summary:
+                        print(f"[{time.time() - t0:7.1f}s] {name} "
+                              f"rate {rate_idx} "
+                              f"bpp={summary['ave_all_frame_bpp']:.4f} "
+                              f"psnr={summary['ave_all_frame_psnr']:.3f}")
+        dump_json(results, args.output_path)
+        print(f"results -> {args.output_path}")
+        return
+
+    i_rt, p_rt, pad_multiple = _build_runtimes(args)
 
     results = {}
     t0 = time.time()
     for seq in specs:
         for rate_idx, q in enumerate(q_indexes):
-            cfg = EvalConfig(
-                pad_multiple=pad_multiple,
-                intra_period=(1 if args.force_intra else
-                              (args.force_intra_period or seq.gop)),
-                frame_num=(args.force_frame_num if args.force_frame_num > 0
-                           else seq.frames),
-                write_stream=bool(args.write_stream),
-                stream_path=args.stream_path,
-                decoded_path=args.decoded_frame_path,
-                calc_ssim=bool(args.calc_ssim),
-                yuv420_metrics=bool(args.yuv420),
-                verbose=args.verbose,
-                q_in_ckpt=(args.rate_num == 4 and not args.q_indexes),
-                chroma_upsample_order=args.chroma_upsample_order,
-            )
-            summary = run_sequence(i_rt, p_rt, seq, cfg,
-                                   q_index_i=q, q_index_p=q)
+            summary = _eval_one(i_rt, p_rt, pad_multiple, seq, rate_idx, q,
+                                args)
             results.setdefault(seq.name, {})[f"rate_{rate_idx}"] = summary
             if args.verbose:
                 print(f"[{time.time() - t0:7.1f}s] {seq.name} rate {rate_idx} "
