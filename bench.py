@@ -23,9 +23,23 @@ number is recorded.
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
+
+# --- global deadline ---------------------------------------------------
+# The driver runs bench.py under `timeout` with a ~30 min budget (round 3's
+# artifact is rc=124 exactly 30 min after the first log line — the device
+# connect hung for the whole window and nothing was printed). Everything
+# below is budgeted against DEADLINE_S so that ONE parseable JSON line is
+# ALWAYS emitted before the external kill, whatever the tunnel does.
+_T0 = time.time()
+DEADLINE_S = float(os.environ.get("DCVC_TPU_BENCH_DEADLINE_S", "1620"))
+
+
+def _remaining():
+    return DEADLINE_S - (time.time() - _T0)
 
 # persistent compilation cache: the DMC program is large and the remote AOT
 # compile is slow; cache compiled executables across runs
@@ -66,11 +80,81 @@ def _wait_for_device(max_tries: int = 8, delay: float = 30.0):
         except Exception as e:  # noqa: BLE001
             print(f"# device probe failed ({i + 1}/{max_tries}): {e}",
                   flush=True)
+            if _remaining() < delay + 30:
+                break
             time.sleep(delay)
     raise RuntimeError("accelerator unavailable")
 
 
-def _resilient(label, fn, retries=4, delay=45.0):
+def _probe_device_subprocess(budget_s: float, try_timeout: float = 150.0):
+    """Probe the accelerator from SHORT-LIVED subprocesses until one
+    round-trips, a hard per-try timeout bounding each attempt.
+
+    Round 3's driver bench hung inside the first in-process device call for
+    the full 30 min budget without raising — an in-process probe cannot be
+    cancelled, a subprocess can. Returns True once a probe succeeds; False
+    when ``budget_s`` is exhausted (the device is unreachable and the main
+    process should emit its partial artifact instead of touching jax).
+    """
+    import subprocess
+
+    t0 = time.time()
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.block_until_ready(jnp.ones((8, 8)).sum()); print('ok')")
+    i = 0
+    while time.time() - t0 < budget_s:
+        i += 1
+        tmo = min(try_timeout, max(30.0, budget_s - (time.time() - t0)))
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=tmo)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            err = (r.stderr or r.stdout).strip().splitlines()
+            err = err[-1] if err else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"probe hung >{tmo:.0f}s (killed)"
+        print(f"# subprocess device probe {i} failed: {err[:200]}",
+              flush=True)
+        time.sleep(10)
+    return False
+
+
+class _Emitter:
+    """Single-shot JSON emitter shared by the main flow and the watchdog."""
+
+    def __init__(self, payload):
+        self.payload = payload
+        self._lock = threading.Lock()
+        self._done = False
+
+    def emit(self, note=None):
+        with self._lock:
+            if self._done:
+                return
+            self._done = True
+            if note:
+                self.payload["extra"]["bench_note"] = note
+            _checkpoint_partial(self.payload)
+            print(json.dumps(self.payload), flush=True)
+
+    def start_watchdog(self, margin_s: float = 45.0):
+        def _run():
+            while True:
+                left = _remaining() - margin_s
+                if left <= 0:
+                    break
+                time.sleep(min(left, 15.0))
+            self.emit(note=f"deadline watchdog fired at "
+                           f"{time.time() - _T0:.0f}s; sections after this "
+                           f"point were skipped")
+            os._exit(0)
+
+        t = threading.Thread(target=_run, daemon=True)
+        t.start()
+
+
+def _resilient(label, fn, retries=4, delay=45.0):  # noqa: C901
     """Run one measurement section with connection-drop recovery.
 
     The remote-TPU tunnel can drop mid-measurement (round 2's whole BENCH
@@ -86,6 +170,8 @@ def _resilient(label, fn, retries=4, delay=45.0):
             err = f"{type(e).__name__}: {e}"
             print(f"# section {label} failed (try {i + 1}/{retries}): "
                   f"{err[:300]}", flush=True)
+            if _remaining() < delay + 120:
+                break  # not enough budget for another attempt
             if i + 1 < retries:
                 time.sleep(delay)
                 try:
@@ -283,6 +369,7 @@ def _run_child(section, timeout=2700):
     compilation cache keeps the child's compiles cheap."""
     import subprocess
 
+    timeout = max(60, min(timeout, _remaining() - 90))
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", section],
         capture_output=True, text=True, timeout=timeout)
@@ -311,7 +398,6 @@ def child_main(section):
 
 
 def main():
-    _wait_for_device()
     H, W = 1088, 1920  # 1080p padded to /16
 
     extra = {"warp_mode": TILE_MODE}
@@ -322,6 +408,25 @@ def main():
         "vs_baseline": None,
         "extra": extra,
     }
+    em = _Emitter(payload)
+    em.start_watchdog()
+
+    # Bounded device acquisition: subprocess probes that CAN be killed. If
+    # the tunnel is unreachable for half the budget, emit the (empty but
+    # parseable) artifact rather than hanging into the driver's kill.
+    if not _probe_device_subprocess(budget_s=min(900.0, _remaining() * 0.5)):
+        em.emit(note="accelerator unreachable within probe budget; "
+                     "no measurements taken")
+        return
+    _wait_for_device(max_tries=3, delay=20.0)
+
+    def _skip(section, need_s):
+        if _remaining() < need_s:
+            print(f"# skipping {section}: {_remaining():.0f}s left "
+                  f"< {need_s}s budget", flush=True)
+            extra[section + "_skipped"] = "deadline"
+            return True
+        return False
 
     def _headline():
         module, params, qs = _build(*HEADLINE_MODES)
@@ -345,13 +450,35 @@ def main():
         return round(bench_estimated(module_e, params_e, qs_e, H, W,
                                      n_iter=4), 3)
 
-    extra["est_fps_exact_warp"] = _resilient("exact_warp", _exact)
-    _checkpoint_partial(payload)
+    if not _skip("exact_warp", 240):
+        extra["est_fps_exact_warp"] = _resilient("exact_warp", _exact,
+                                                 retries=2, delay=20.0)
+        _checkpoint_partial(payload)
+
+    if not _skip("real_coding", 480):
+        extra_rc = _resilient(
+            "real_coding", lambda: _run_child("real_coding"), retries=2,
+            delay=20.0)
+        if isinstance(extra_rc, dict):
+            extra.update(extra_rc)
+        else:
+            extra["real_coding"] = extra_rc
+        _checkpoint_partial(payload)
+
+    if not _skip("intra", 150):
+        extra["intra_dc_est_fps"] = _resilient(
+            "intra", lambda: round(bench_intra(H, W), 3), retries=2,
+            delay=20.0)
+        _checkpoint_partial(payload)
+    if not _skip("evc", 150):
+        extra["evc_ss_est_fps"] = _resilient(
+            "evc", lambda: round(bench_evc(H, W), 3), retries=2, delay=20.0)
+        _checkpoint_partial(payload)
 
     # Previous default (tile family optimum) — recorded so each BENCH
     # artifact carries the A/B against the prior round's shipped mode.
     alt = os.environ.get("DCVC_TPU_BENCH_ALT", RD_GATED_TILE_MODE)
-    if alt:
+    if alt and not _skip("alt_mode", 240):
         if alt.startswith("alltile:"):
             modes = ("tile:" + alt.split(":", 1)[1],) * 3
         elif alt.startswith("all:"):
@@ -363,31 +490,19 @@ def main():
             m, p, q = _build(*modes)
             return round(bench_estimated(m, p, q, H, W, n_iter=4), 3)
 
-        extra["est_fps_alt"] = _resilient("alt_mode", _alt)
+        extra["est_fps_alt"] = _resilient("alt_mode", _alt, retries=2,
+                                          delay=20.0)
         extra["alt_mode"] = alt
         _checkpoint_partial(payload)
 
-    extra_rc = _resilient(
-        "real_coding", lambda: _run_child("real_coding"), retries=3)
-    if isinstance(extra_rc, dict):
-        extra.update(extra_rc)
-    else:
-        extra["real_coding"] = extra_rc
-    _checkpoint_partial(payload)
-
-    extra["intra_dc_est_fps"] = _resilient(
-        "intra", lambda: round(bench_intra(H, W), 3))
-    _checkpoint_partial(payload)
-    extra["evc_ss_est_fps"] = _resilient(
-        "evc", lambda: round(bench_evc(H, W), 3))
-    _checkpoint_partial(payload)
-    evc_rc = _resilient("evc_real", lambda: _run_child("evc_real"),
-                        retries=3)
-    if isinstance(evc_rc, dict):
-        extra.update(evc_rc)
-    else:
-        extra["evc_real"] = evc_rc
-    _checkpoint_partial(payload)
+    if not _skip("evc_real", 240):
+        evc_rc = _resilient("evc_real", lambda: _run_child("evc_real"),
+                            retries=2, delay=20.0)
+        if isinstance(evc_rc, dict):
+            extra.update(evc_rc)
+        else:
+            extra["evc_real"] = evc_rc
+        _checkpoint_partial(payload)
 
     # Last-resort headline: if the gated default never completed but the
     # exact-warp section did, report that (it is the slower, conservative
@@ -399,8 +514,7 @@ def main():
             payload["value"] / REFERENCE_GPU_FPS, 3)
         extra["headline_fallback"] = "exact_warp"
 
-    _checkpoint_partial(payload)
-    print(json.dumps(payload))
+    em.emit()
 
 
 if __name__ == "__main__":
