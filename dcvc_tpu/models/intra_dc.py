@@ -109,15 +109,15 @@ class IntraNoAR(nn.Module):
         self.hyper_dec = IntraHyperDec(N, dtype=self.dtype)
         self.y_prior_fusion_1 = DepthConvBlock2(N * 2, dtype=self.dtype)
         self.y_prior_fusion_2 = DepthConvBlock2(N * 3, dtype=self.dtype)
-        self.y_spatial_prior_adaptor_1 = conv(N * 3, 1)
-        self.y_spatial_prior_adaptor_2 = conv(N * 3, 1)
-        self.y_spatial_prior_adaptor_3 = conv(N * 3, 1)
+        self.y_spatial_prior_adaptor_1 = conv(N * 3, 1, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_2 = conv(N * 3, 1, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_3 = conv(N * 3, 1, dtype=self.dtype)
         self.y_spatial_prior_1 = DepthConvBlock2(N * 3, dtype=self.dtype)
         self.y_spatial_prior_2 = DepthConvBlock2(N * 2, dtype=self.dtype)
         self.y_spatial_prior_3 = DepthConvBlock2(N * 2, dtype=self.dtype)
         self.dec = IntraDecoder(N, self.ch_a, self.ch_b, dtype=self.dtype)
         self.refine_unet = UNet(16, block2=True, dtype=self.dtype)
-        self.refine_conv = conv(3, 3)
+        self.refine_conv = conv(3, 3, dtype=self.dtype)
         self.bit_estimator_z = BitEstimator(N)
         ones = nn.initializers.ones
         self.q_basic_enc = self.param("q_basic_enc", ones, (1, 1, 1, self.ch_a))

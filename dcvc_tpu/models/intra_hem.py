@@ -35,7 +35,7 @@ class IntraNoARHem(nn.Module):
         self.enc = HemEncoder(N, dtype=self.dtype)
         self.dec = HemDecoder(N, 16, dtype=self.dtype)
         self.refine_unet = HemUNet(16, dtype=self.dtype)
-        self.refine_conv = conv(3, 3)
+        self.refine_conv = conv(3, 3, dtype=self.dtype)
         self.hyper_enc = HemHyperEnc(N, dtype=self.dtype)
         self.hyper_dec = HemHyperDec(N, dtype=self.dtype)
         self.y_prior_fusion = Conv3Stack((N * 3, N * 3, N * 3), dtype=self.dtype)

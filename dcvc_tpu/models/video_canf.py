@@ -114,15 +114,15 @@ class CANFVCDmc(nn.Module):
         self.mv_y_spatial_prior = Conv3Stack((mv * 3, mv * 3, mv * 2),
                                              dtype=self.dtype)
 
-        self.feature_adaptor_I = conv(N, 3, 1)
+        self.feature_adaptor_I = conv(N, 3, 1, dtype=self.dtype)
         self.feature_extractor = HemFeatureExtractor(N, dtype=self.dtype)
         self.context_fusion_net = HemContextFusion(N, dtype=self.dtype)
 
         self.contextual_coder = CanfMainCoder(2, N, M, dtype=self.dtype)
         self.contextual_hyper_prior_encoder = _HemResHyperEnc(N, dtype=self.dtype)
         self.contextual_hyper_prior_decoder = HemHyperDec(M, dtype=self.dtype)
-        self.temporal_prior_encoder_1 = conv(M * 3 // 2, 3, 2)
-        self.temporal_prior_encoder_2 = conv(M * 2, 3, 2)
+        self.temporal_prior_encoder_1 = conv(M * 3 // 2, 3, 2, dtype=self.dtype)
+        self.temporal_prior_encoder_2 = conv(M * 2, 3, 2, dtype=self.dtype)
         self.y_prior_fusion = Conv3Stack((M * 4, M * 3, M * 3), dtype=self.dtype)
         self.y_spatial_prior = Conv3Stack((M * 3, M * 3, M * 2), dtype=self.dtype)
         self.dq = DeQuantizationModule(3, 64, 6, dtype=self.dtype)

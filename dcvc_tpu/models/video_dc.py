@@ -186,31 +186,32 @@ class DMC(nn.Module):
         self.mv_y_prior_fusion_adaptor_1 = DepthConvBlock(ch_mv * 2, dtype=self.dtype)
         self.mv_y_prior_fusion_1 = DepthConvBlock(ch_mv * 3, dtype=self.dtype)
         self.mv_y_prior_fusion_2 = DepthConvBlock(ch_mv * 3, dtype=self.dtype)
-        self.mv_y_spatial_prior_adaptor_1 = conv(ch_mv * 3, 1)
-        self.mv_y_spatial_prior_adaptor_2 = conv(ch_mv * 3, 1)
-        self.mv_y_spatial_prior_adaptor_3 = conv(ch_mv * 3, 1)
+        self.mv_y_spatial_prior_adaptor_1 = conv(ch_mv * 3, 1, dtype=self.dtype)
+        self.mv_y_spatial_prior_adaptor_2 = conv(ch_mv * 3, 1, dtype=self.dtype)
+        self.mv_y_spatial_prior_adaptor_3 = conv(ch_mv * 3, 1, dtype=self.dtype)
         self.mv_y_spatial_prior_1 = DepthConvBlock(ch_mv * 3, dtype=self.dtype)
         self.mv_y_spatial_prior_2 = DepthConvBlock(ch_mv * 3, dtype=self.dtype)
         self.mv_y_spatial_prior_3 = DepthConvBlock(ch_mv * 2, dtype=self.dtype)
         self.mv_decoder = MvDec(2, ch_mv, dtype=self.dtype)
 
-        self.feature_adaptor_I = conv(c1, 3, 1)
-        self.feature_adaptor = [conv(c1, 1, 1) for _ in range(3)]
+        self.feature_adaptor_I = conv(c1, 3, 1, dtype=self.dtype)
+        self.feature_adaptor = [conv(c1, 1, 1, dtype=self.dtype)
+                                for _ in range(3)]
         self.feature_extractor = FeatureExtractor(dtype=self.dtype)
         self.context_fusion_net = MultiScaleContextFusion(dtype=self.dtype)
 
         self.contextual_encoder = ContextualEncoder(dtype=self.dtype)
         self.contextual_hyper_prior_encoder = HyperEncReduced(c16, dtype=self.dtype)
         self.contextual_hyper_prior_decoder = HyperDec(c16, dtype=self.dtype)
-        self.temporal_prior_encoder_1 = conv(G_CH["8x"], 3, 2)
-        self.temporal_prior_encoder_2 = conv(c16, 3, 2)
+        self.temporal_prior_encoder_1 = conv(G_CH["8x"], 3, 2, dtype=self.dtype)
+        self.temporal_prior_encoder_2 = conv(c16, 3, 2, dtype=self.dtype)
         self.y_prior_fusion_adaptor_0 = DepthConvBlock(c16 * 3, dtype=self.dtype)
         self.y_prior_fusion_adaptor_1 = DepthConvBlock(c16 * 3, dtype=self.dtype)
         self.y_prior_fusion_1 = DepthConvBlock(c16 * 3, dtype=self.dtype)
         self.y_prior_fusion_2 = DepthConvBlock(c16 * 3, dtype=self.dtype)
-        self.y_spatial_prior_adaptor_1 = conv(c16 * 3, 1)
-        self.y_spatial_prior_adaptor_2 = conv(c16 * 3, 1)
-        self.y_spatial_prior_adaptor_3 = conv(c16 * 3, 1)
+        self.y_spatial_prior_adaptor_1 = conv(c16 * 3, 1, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_2 = conv(c16 * 3, 1, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_3 = conv(c16 * 3, 1, dtype=self.dtype)
         self.y_spatial_prior_1 = DepthConvBlock(c16 * 3, dtype=self.dtype)
         self.y_spatial_prior_2 = DepthConvBlock(c16 * 3, dtype=self.dtype)
         self.y_spatial_prior_3 = DepthConvBlock(c16 * 2, dtype=self.dtype)

@@ -225,8 +225,8 @@ class DMCTcm(nn.Module):
         self.mv_prior_decoder = _TcmHyperDec(mv, mv, dtype=self.dtype)
         self.mv_decoder = TcmMvDecoder(mv, dtype=self.dtype)
 
-        self.feature_adaptor_I = conv(N, 3, 1)
-        self.feature_adaptor_P = conv(N, 1, 1)
+        self.feature_adaptor_I = conv(N, 3, 1, dtype=self.dtype)
+        self.feature_adaptor_P = conv(N, 1, 1, dtype=self.dtype)
         self.feature_extractor = TcmFeatureExtractor(N, dtype=self.dtype)
         self.context_fusion_net = TcmContextFusion(N, dtype=self.dtype)
 
