@@ -35,7 +35,7 @@ import jax
 # below is budgeted against DEADLINE_S so that ONE parseable JSON line is
 # ALWAYS emitted before the external kill, whatever the tunnel does.
 _T0 = time.time()
-DEADLINE_S = float(os.environ.get("DCVC_TPU_BENCH_DEADLINE_S", "1620"))
+DEADLINE_S = float(os.environ.get("DCVC_TPU_BENCH_DEADLINE_S", "1680"))
 
 
 def _remaining():
@@ -255,7 +255,7 @@ def bench_estimated(module, params, qs, H, W, n_iter=8):
     return 1.0 / ((time.time() - t0) / n_iter)
 
 
-def bench_real_coding(module, params, H, W, n_iter=3):
+def bench_real_coding(module, params, H, W, n_iter=3, deadline_at=None):
     """write_stream path: actual rANS bitstreams, enc/dec timed separately
     (reference brackets: video_model.py:526-540 + test_video.py:224-227).
     stream_part=3 + ec_thread are the same protocol-legal knobs the reference
@@ -283,6 +283,7 @@ def bench_real_coding(module, params, H, W, n_iter=3):
     enc_t = dec_t = 0.0
     cur = dec["dpb"]
     bits = 0
+    done = 0
     for i in range(n_iter):
         t0 = time.time()
         comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0,
@@ -295,13 +296,22 @@ def bench_real_coding(module, params, H, W, n_iter=3):
         dec_t += t2 - t1
         bits += len(comp["bit_stream"]) * 8
         cur = out["dpb"]
-    enc_t /= n_iter
-    dec_t /= n_iter
+        done += 1
+        # adaptive iteration count: per-frame enc+dec over the remote
+        # tunnel is tens of seconds (host rANS readbacks between decode
+        # stages) — report what was measured rather than overrun the
+        # budget and report nothing (rounds 1-3 all lost this section)
+        if deadline_at is not None and done >= 1 \
+                and time.time() + (t2 - t0) > deadline_at:
+            break
+    enc_t /= done
+    dec_t /= done
     return {
         "real_enc_fps": round(1.0 / enc_t, 3),
         "real_dec_fps": round(1.0 / dec_t, 3),
         "real_encdec_fps": round(1.0 / (enc_t + dec_t), 3),
-        "real_bpp": round(bits / n_iter / (H * W), 4),
+        "real_bpp": round(bits / done / (H * W), 4),
+        "real_n_iter": done,
         # measurement conditions — keeps BENCH artifacts comparable across
         # rounds (these knobs changed between r01 and r02)
         "real_stream_part": rt.stream_part,
@@ -389,13 +399,16 @@ def bench_evc_real(H, W, n_iter=3, variant="evc_SS"):
 def _run_child(section, timeout=2700):
     """Run one measurement section in a fresh interpreter (fresh remote
     session, no resident-executable interference); the persistent
-    compilation cache keeps the child's compiles cheap."""
+    compilation cache keeps the child's compiles cheap. The child gets its
+    budget on argv and self-terminates (emitting partial results) before
+    the parent's kill."""
     import subprocess
 
-    timeout = max(60, min(timeout, _remaining() - 90))
+    budget = max(60, min(timeout, _remaining() - 90))
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", section],
-        capture_output=True, text=True, timeout=timeout)
+        [sys.executable, os.path.abspath(__file__), "--child", section,
+         str(int(budget))],
+        capture_output=True, text=True, timeout=budget + 60)
     for line in r.stdout.splitlines():
         if line.startswith("CHILD_JSON:"):
             return json.loads(line[len("CHILD_JSON:"):])
@@ -403,7 +416,22 @@ def _run_child(section, timeout=2700):
         f"child {section} rc={r.returncode}: {(r.stderr or r.stdout)[-400:]}")
 
 
-def child_main(section):
+def child_main(section, budget_s=2700.0):
+    t0 = time.time()
+    deadline_at = t0 + budget_s - 30
+
+    def _watchdog():
+        while time.time() < deadline_at + 15:
+            time.sleep(5)
+        # measurement never completed (stuck in compile/warmup): emit a
+        # diagnostic stub so the parent records WHERE the budget went
+        print("CHILD_JSON:" + json.dumps(
+            {section + "_note": f"child hit {budget_s:.0f}s budget during "
+                                f"warmup/compile; no steady-state sample"}),
+            flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     _wait_for_device()
     H, W = 1088, 1920
     if section == "real_coding":
@@ -411,13 +439,22 @@ def child_main(section):
 
         od, mc, me = default_coding_warp_modes()
         module, params, _ = _build(od, mc, me)
-        out = bench_real_coding(module, params, H, W)
+        out = bench_real_coding(module, params, H, W,
+                                deadline_at=deadline_at)
         out["real_warp_mode"] = od
     elif section == "evc_real":
         out = bench_evc_real(H, W)
+    elif section == "intra":
+        # fresh process: measured in the loaded parent, intra reads 0.47
+        # fps vs 8.8 in a clean process (resident-executable dispatch
+        # degradation, out/r3_diag_pattern*.log)
+        out = {"intra_dc_est_fps": round(bench_intra(H, W), 3)}
+    elif section == "evc":
+        out = {"evc_ss_est_fps": round(bench_evc(H, W), 3)}
     else:
         raise SystemExit(f"unknown child section {section}")
     print("CHILD_JSON:" + json.dumps(out), flush=True)
+    os._exit(0)
 
 
 def main():
@@ -468,6 +505,19 @@ def main():
         extra["headline_error"] = head
     _checkpoint_partial(payload)
 
+    # real coding BEFORE the exact-warp A/B: it is the honest
+    # with-entropy-coding number the baseline includes, and it has never
+    # survived to a driver artifact (rounds 1-3) — give it budget priority
+    if not _skip("real_coding", 420):
+        extra_rc = _resilient(
+            "real_coding", lambda: _run_child("real_coding"), retries=2,
+            delay=20.0)
+        if isinstance(extra_rc, dict):
+            extra.update(extra_rc)
+        else:
+            extra["real_coding"] = extra_rc
+        _checkpoint_partial(payload)
+
     def _exact():
         module_e, params_e, qs_e = _build("exact")
         return round(bench_estimated(module_e, params_e, qs_e, H, W,
@@ -478,25 +528,15 @@ def main():
                                                  retries=2, delay=20.0)
         _checkpoint_partial(payload)
 
-    if not _skip("real_coding", 480):
-        extra_rc = _resilient(
-            "real_coding", lambda: _run_child("real_coding"), retries=2,
-            delay=20.0)
-        if isinstance(extra_rc, dict):
-            extra.update(extra_rc)
-        else:
-            extra["real_coding"] = extra_rc
-        _checkpoint_partial(payload)
-
-    if not _skip("intra", 150):
-        extra["intra_dc_est_fps"] = _resilient(
-            "intra", lambda: round(bench_intra(H, W), 3), retries=2,
-            delay=20.0)
-        _checkpoint_partial(payload)
-    if not _skip("evc", 150):
-        extra["evc_ss_est_fps"] = _resilient(
-            "evc", lambda: round(bench_evc(H, W), 3), retries=2, delay=20.0)
-        _checkpoint_partial(payload)
+    for sec in ("intra", "evc"):
+        if not _skip(sec, 180):
+            r = _resilient(sec, lambda s=sec: _run_child(s, timeout=300),
+                           retries=2, delay=20.0)
+            if isinstance(r, dict):
+                extra.update(r)
+            else:
+                extra[sec] = r
+            _checkpoint_partial(payload)
 
     # Previous default (tile family optimum) — recorded so each BENCH
     # artifact carries the A/B against the prior round's shipped mode.
@@ -542,6 +582,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        child_main(sys.argv[2])
+        child_main(sys.argv[2],
+                   float(sys.argv[3]) if len(sys.argv) > 3 else 2700.0)
     else:
         main()
