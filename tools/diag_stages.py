@@ -81,17 +81,19 @@ def main():
 
     chain("feature_extractor(48ch)", s_feat, (feat,))
 
-    # 3. OffsetDiversity alone
+    # 3. OffsetDiversity alone — big operands THREADED THROUGH STATE:
+    # closure constants are embedded into the HLO, and at 1080p the 400MB
+    # feature plane exceeds the remote-compile request limit (HTTP 413)
     aux = jnp.concatenate([feat, ref, mv], axis=-1)
 
     @jax.jit
     def s_align(s):
-        f, = s
-        out = module.apply(params, f, aux, mv,
-                           method=lambda m, a, b, c: m.align(a, b, c))
-        return (f + out.astype(f.dtype),)
+        f, a, v = s
+        out = module.apply(params, f, a, v,
+                           method=lambda m, p, b, c: m.align(p, b, c))
+        return (f + out.astype(f.dtype), a, v)
 
-    chain("offset_diversity", s_align, (feat,))
+    chain("offset_diversity", s_align, (feat, aux, mv))
 
     # 4. full motion_compensation (I-dpb and P-dpb)
     dpb_i = {"ref_frame": ref, "ref_feature": None, "ref_mv_feature": None,
@@ -99,17 +101,16 @@ def main():
     dpb_p = {"ref_frame": ref, "ref_feature": feat,
              "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
 
-    def mk_mocomp(dpb):
-        @jax.jit
-        def s_mc(s):
-            xx, = s
-            c1, c2, c3, _ = module.apply(
-                params, dpb, mv, method=lambda m, d, v: m.motion_compensation(d, v, 1))
-            return (xx + jnp.mean(c1) + jnp.mean(c2) + jnp.mean(c3),)
-        return s_mc
+    @jax.jit
+    def s_mc(s):
+        xx, dpb, v = s
+        c1, c2, c3, _ = module.apply(
+            params, dpb, v,
+            method=lambda m, d, w: m.motion_compensation(d, w, 1))
+        return (xx + jnp.mean(c1) + jnp.mean(c2) + jnp.mean(c3), dpb, v)
 
-    chain("motion_comp I-dpb", mk_mocomp(dpb_i), (x,))
-    chain("motion_comp P-dpb", mk_mocomp(dpb_p), (x,))
+    chain("motion_comp I-dpb", s_mc, (x, dpb_i, mv))
+    chain("motion_comp P-dpb", s_mc, (x, dpb_p, mv))
 
     # 5. contextual encoder + hyper
     c1 = jax.random.uniform(jax.random.PRNGKey(4), (1, H, W, 48))
@@ -118,14 +119,14 @@ def main():
 
     @jax.jit
     def s_enc(s):
-        xx, = s
+        xx, b1, b2, b3 = s
         y = module.apply(
-            params, xx, c1, c2, c3,
+            params, xx, b1, b2, b3,
             method=lambda m, a, b, cc, d: m.contextual_encoder(
                 a, b, cc, d, m.y_q_basic_enc))
-        return (xx + jnp.mean(y),)
+        return (xx + jnp.mean(y), b1, b2, b3)
 
-    chain("ctx_encoder", s_enc, (x,))
+    chain("ctx_encoder", s_enc, (x, c1, c2, c3))
 
     # 6. four-part prior forward (y branch)
     y = jax.random.uniform(jax.random.PRNGKey(7), (1, H // 16, W // 16, 128))
@@ -149,18 +150,18 @@ def main():
 
     @jax.jit
     def s_dec(s):
-        yy, = s
-        def go(m, yv):
-            return m.get_recon_and_feature(yv, c1, c2, c3, m.y_q_basic_dec)
-        x_hat, f = module.apply(params, yy, method=go)
-        return (yy + jnp.mean(x_hat) + jnp.mean(f),)
+        yy, b1, b2, b3 = s
+        def go(m, yv, e1, e2, e3):
+            return m.get_recon_and_feature(yv, e1, e2, e3, m.y_q_basic_dec)
+        x_hat, f = module.apply(params, yy, b1, b2, b3, method=go)
+        return (yy + jnp.mean(x_hat) + jnp.mean(f), b1, b2, b3)
 
-    chain("ctx_dec+recon", s_dec, (y_hat,))
+    chain("ctx_dec+recon", s_dec, (y_hat, c1, c2, c3))
 
     # 8. mv branch: encoder+hyper+prior+dec
     @jax.jit
     def s_mvb(s):
-        xx, = s
+        xx, dpb = s
         def go(m, a, d):
             mv_y, mv_z, ss = m._mv_branch_analysis(a, d, m.mv_y_q_basic_enc)
             mv_z_hat = jnp.round(mv_z)
@@ -169,10 +170,10 @@ def main():
                 mv_y, mp, m.spatial_prior_fns("mv"))
             mh, mf = m.mv_decoder(mv_y_hat, m.mv_y_q_basic_dec)
             return mh, mf
-        mh, mf = module.apply(params, xx, dpb_i, method=go)
-        return (xx + jnp.mean(mh) + jnp.mean(mf),)
+        mh, mf = module.apply(params, xx, dpb, method=go)
+        return (xx + jnp.mean(mh) + jnp.mean(mf), dpb)
 
-    chain("mv_branch(flow+enc+prior+dec)", s_mvb, (x,))
+    chain("mv_branch(flow+enc+prior+dec)", s_mvb, (x, dpb_i))
 
 
 if __name__ == "__main__":
