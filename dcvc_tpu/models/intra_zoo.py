@@ -109,9 +109,12 @@ class _HyperBase(nn.Module):
 
         scales = jnp.maximum(scales, SCALES_MIN_JNP)
         v = jnp.abs(y_q)
-        probs = (jax.scipy.special.ndtr((0.5 - v) / scales)
-                 - jax.scipy.special.ndtr((-0.5 - v) / scales))
-        return -jnp.log2(jnp.maximum(probs, 1e-9))
+        # ndtr rejects bf16, and tail probabilities need f32 anyway
+        # (entropy/bits.py:gaussian_cdf does the same)
+        z_hi = ((0.5 - v) / scales).astype(jnp.float32)
+        z_lo = ((-0.5 - v) / scales).astype(jnp.float32)
+        probs = jax.scipy.special.ndtr(z_hi) - jax.scipy.special.ndtr(z_lo)
+        return -jnp.log2(jnp.maximum(probs, 1e-9)).astype(v.dtype)
 
 
 SCALES_MIN_JNP = 0.11

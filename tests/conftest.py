@@ -30,6 +30,7 @@ FAST_MODULES = {
     "test_warp_impls",
     "test_sharding",
     "test_distributed",
+    "test_dtype_consistency",
 }
 
 

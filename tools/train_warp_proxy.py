@@ -38,6 +38,10 @@ def main():
     p.add_argument("--workdir", default="out/warp_proxy")
     p.add_argument("--restore", default=None,
                    help="skip phases already covered by this checkpoint")
+    p.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+                   help="jax.checkpoint per frame apply; auto = on for "
+                        "crop >= 192 on an accelerator (256px cascade "
+                        "exceeds 16GB HBM without it)")
     args = p.parse_args()
 
     import jax
@@ -124,13 +128,16 @@ def main():
         save_params(flow_ckpt, params)
 
     # ---------------- phase B: RD training, SPyNet warm ----------------
+    remat = (args.remat == "on"
+             or (args.remat == "auto" and args.crop >= 192
+                 and jax.default_backend() != "cpu"))
     schedule = []
     if args.rd_steps:
         schedule.append(Stage("proxy_joint", epochs=3, cascade_frames=1,
-                              detach=True, lr=1e-4))
+                              detach=True, lr=1e-4, remat=remat))
     if args.cascade_steps:
         schedule.append(Stage("proxy_cascade", epochs=1, cascade_frames=2,
-                              detach=True, lr=5e-5))
+                              detach=True, lr=5e-5, remat=remat))
     if schedule:
         trainer = PFrameTrainer(module, params, schedule=schedule,
                                 workdir=args.workdir)
