@@ -167,7 +167,7 @@ class PFrameTrainer:
 
     def fit(self, dataset, batch_size: int = 4, steps_per_epoch: int = 100,
             log_every: int = 20, save_every_epoch: bool = True,
-            val_dataset=None, val_steps: int = 8):
+            val_dataset=None, val_steps: int = 8, epoch_offset: int = 0):
         """``val_dataset`` adds a per-epoch no-update validation pass (the
         fork validates each epoch against the first GOP of every test
         sequence, train_CANFVC_DMC.py:241-320); val loss lands in
@@ -207,8 +207,12 @@ class PFrameTrainer:
                         self.save(os.path.join(self.workdir, "best.npz"))
                 self.history.append(rec)
                 if save_every_epoch:
+                    # epoch_offset keeps GLOBAL epoch indices across
+                    # crash-resume relaunches (a fresh fit() would
+                    # otherwise overwrite ep0 and stall resume detection)
                     self.save(os.path.join(
-                        self.workdir, f"{stage.name}_ep{epoch}.npz"))
+                        self.workdir,
+                        f"{stage.name}_ep{epoch + epoch_offset}.npz"))
         return self.params
 
     def validate(self, dataset, stage: Stage | None = None,

@@ -131,29 +131,55 @@ def main():
     remat = (args.remat == "on"
              or (args.remat == "auto" and args.crop >= 192
                  and jax.default_backend() != "cpu"))
-    schedule = []
+    # phase B runs in SHORT EPOCHS (500 steps) with save_every_epoch so a
+    # remote-tunnel connection drop costs <=500 steps: a multi-hour
+    # all-or-nothing fit lost 45 min to one mid-step hang. Already-saved
+    # epoch checkpoints are skipped on relaunch (crash-resume).
+    EP = 500
+
+    def _resume(stage_name, epochs):
+        done = [e for e in range(epochs) if os.path.exists(
+            os.path.join(args.workdir, f"{stage_name}_ep{e}.npz"))]
+        if not done:
+            return None, epochs
+        last = max(done)
+        return (os.path.join(args.workdir, f"{stage_name}_ep{last}.npz"),
+                epochs - last - 1)
+
+    stages = []  # (Stage, steps_per_epoch, batch_size, epoch_offset)
     if args.rd_steps:
-        schedule.append(Stage("proxy_joint", epochs=3, cascade_frames=1,
-                              detach=True, lr=1e-4, remat=remat))
+        n_ep = max(1, (args.rd_steps + EP - 1) // EP)
+        ck, left = _resume("proxy_joint", n_ep)
+        if ck:
+            print(f"phase B resume: {ck} ({left} epochs left)", flush=True)
+            params = load_params(ck, params)
+        if left:
+            stages.append((Stage("proxy_joint", epochs=left,
+                                 cascade_frames=1, detach=True, lr=1e-4,
+                                 remat=remat),
+                           min(EP, args.rd_steps), args.batch_size,
+                           n_ep - left))
     if args.cascade_steps:
-        schedule.append(Stage("proxy_cascade", epochs=1, cascade_frames=2,
-                              detach=True, lr=5e-5, remat=remat))
-    if schedule:
-        trainer = PFrameTrainer(module, params, schedule=schedule,
+        n_ep_c = max(1, (args.cascade_steps + EP - 1) // EP)
+        ck, left_c = _resume("proxy_cascade", n_ep_c)
+        if ck:
+            print(f"cascade resume: {ck} ({left_c} epochs left)", flush=True)
+            params = load_params(ck, params)
+        if left_c:
+            stages.append((Stage("proxy_cascade", epochs=left_c,
+                                 cascade_frames=2, detach=True, lr=5e-5,
+                                 remat=remat),
+                           min(EP, args.cascade_steps),
+                           max(args.batch_size // 2, 1),
+                           n_ep_c - left_c))
+    if stages:
+        trainer = PFrameTrainer(module, params, schedule=[],
                                 workdir=args.workdir)
-        steps = max(args.rd_steps // 3, 1)
-        # same steps_per_epoch for both stages; cascade stage just runs one
-        # shorter epoch via its own dataset pass below
-        trainer.schedule = schedule[:1]
-        if args.rd_steps:
-            trainer.fit(data, batch_size=args.batch_size,
-                        steps_per_epoch=steps, log_every=50,
-                        save_every_epoch=False)
-        if args.cascade_steps:
-            trainer.schedule = schedule[-1:]
-            trainer.fit(data, batch_size=max(args.batch_size // 2, 1),
-                        steps_per_epoch=args.cascade_steps, log_every=50,
-                        save_every_epoch=False)
+        for stage, per_ep, bs, ep_off in stages:
+            trainer.schedule = [stage]
+            trainer.fit(data, batch_size=bs, steps_per_epoch=per_ep,
+                        log_every=50, save_every_epoch=True,
+                        epoch_offset=ep_off)
         params = trainer.params
     save_params(os.path.join(args.workdir, "proxy.npz"), params)
 
