@@ -699,6 +699,23 @@ class DmcRuntime(_RuntimeBase):
             lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
                 pr, sofar, yq.astype(pr.dtype), mp, step),
             static_argnums=(4,))
+
+        def update_scales_step(p, pr, sofar, yq, mp, step, which):
+            # FUSED: scatter step's decoded symbols AND compute step+1's
+            # scales in one executable — halves the serial host<->device
+            # roundtrips of the four-part decode (8 -> 5 per plane), the
+            # dominant write-stream decode cost on remote-dispatch
+            # platforms (PLAN round-3: per-roundtrip latency, not device
+            # work, bounds the tunnel decode path)
+            sofar2 = priors.four_part_decode_update(
+                pr, sofar, yq.astype(pr.dtype), mp, step)
+            scales_r, means_parts = m.apply(p, pr, sofar2, step + 1, which,
+                                            method=mt.decode_scales_step)
+            return (sofar2, idx16(scales_r).astype(jnp.float32),
+                    tuple(means_parts))
+
+        self._update_scales_step = jax.jit(update_scales_step,
+                                           static_argnums=(5, 6))
         self._motion_stage = jax.jit(
             lambda p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw: m.apply(
                 p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw,
@@ -779,16 +796,23 @@ class DmcRuntime(_RuntimeBase):
     def _decode_four_part(self, params, channels: int, which: str):
         B, yh, yw = params.shape[0], params.shape[1], params.shape[2]
         so_far = jnp.zeros((B, yh, yw, channels), params.dtype)
-        for step in range(4):
-            idx_r, means_parts = self._scales_step(self.params, params,
-                                                   so_far, step, which)
+
+        def _host_decode(idx_r):
             idx_np = np.asarray(idx_r)
-            y_q_r = jnp.asarray(
+            return jnp.asarray(
                 self.gaussian.decode_with_indexes(self.entropy_coder, idx_np)
                 .astype(np.float32))
-            so_far = self._update_step(params, so_far, y_q_r,
-                                       tuple(means_parts), step)
-        return so_far
+
+        idx_r, means_parts = self._scales_step(self.params, params,
+                                               so_far, 0, which)
+        y_q_r = _host_decode(idx_r)
+        for step in range(1, 4):
+            so_far, idx_r, means_parts = self._update_scales_step(
+                self.params, params, so_far, y_q_r, tuple(means_parts),
+                step - 1, which)
+            y_q_r = _host_decode(idx_r)
+        return self._update_step(params, so_far, y_q_r,
+                                 tuple(means_parts), 3)
 
     def decompress(self, dpb, string, height, width, q_in_ckpt: bool,
                    q_index: int, frame_idx: int):
@@ -910,6 +934,19 @@ class IntraDcRuntime(_RuntimeBase):
             lambda pr, sofar, yq, mp, step: priors.four_part_decode_update(
                 pr, sofar, yq.astype(pr.dtype), mp, step),
             static_argnums=(4,))
+
+        def update_scales_step(p, pr, sofar, yq, mp, step):
+            # fused scatter + next-step scales: 8 -> 5 serial roundtrips
+            # per decode (see DmcRuntime counterpart)
+            sofar2 = priors.four_part_decode_update(
+                pr, sofar, yq.astype(pr.dtype), mp, step)
+            scales_r, means_parts = m.apply(p, pr, sofar2, step + 1,
+                                            method=mt.decode_scales_step)
+            return (sofar2, idx16(scales_r).astype(jnp.float32),
+                    tuple(means_parts))
+
+        self._update_scales_step = jax.jit(update_scales_step,
+                                           static_argnums=(5,))
         self._synth = jax.jit(
             lambda p, pr, sofar, qd: m.apply(p, pr, sofar, qd,
                                              method=mt.decode_synthesis))
@@ -968,14 +1005,22 @@ class IntraDcRuntime(_RuntimeBase):
         params = self._prior(self.params, z_hat, yh, yw)
 
         so_far = jnp.zeros((1, yh, yw, self.module.N), params.dtype)
-        for step in range(4):
-            idx_r, means_parts = self._scales_step(self.params, params,
-                                                   so_far, step)
-            y_q_r = jnp.asarray(
+
+        def _host_decode(idx_r):
+            return jnp.asarray(
                 self.gaussian.decode_with_indexes(self.entropy_coder,
                                                   np.asarray(idx_r))
                 .astype(np.float32))
-            so_far = self._update_step(params, so_far, y_q_r,
-                                       tuple(means_parts), step)
+
+        idx_r, means_parts = self._scales_step(self.params, params,
+                                               so_far, 0)
+        y_q_r = _host_decode(idx_r)
+        for step in range(1, 4):
+            so_far, idx_r, means_parts = self._update_scales_step(
+                self.params, params, so_far, y_q_r, tuple(means_parts),
+                step - 1)
+            y_q_r = _host_decode(idx_r)
+        so_far = self._update_step(params, so_far, y_q_r,
+                                   tuple(means_parts), 3)
         x_hat = self._synth(self.params, params, so_far, qd)
         return {"x_hat": x_hat}

@@ -58,8 +58,16 @@ def main():
 
     # q_scales: anchors from the checkpoint (ones at fresh init) log-interp'd.
     # The CompressAI-zoo families are per-rate models with no q parameter
-    # (DCVC/src/models/priors.py) — one rate point per checkpoint.
-    if "q_scale" in rt.params["params"]:
+    # (DCVC/src/models/priors.py) — one rate point per checkpoint. The DC
+    # generation's I-codec uses (q_in_ckpt, q_index) into its 64-point fine
+    # table + the DC flag+q container (stream_helper.py:94-117 semantics).
+    from dcvc_tpu.models.runtime import IntraDcRuntime
+
+    is_dc = isinstance(rt, IntraDcRuntime)
+    if is_dc:
+        q_scales = [int(round(v)) for v in np.linspace(
+            0, 63, args.rate_num)] if args.rate_num > 1 else [0]
+    elif "q_scale" in rt.params["params"]:
         anchors = np.asarray(rt.params["params"]["q_scale"]).reshape(-1)
         q_scales = np.exp(
             np.linspace(np.log(anchors[0]), np.log(anchors[-1]),
@@ -81,7 +89,25 @@ def main():
 
         for rate_idx, q in enumerate(q_scales):
             t0 = time.time()
-            if args.write_stream and q is None:  # per-rate zoo model
+            if args.write_stream and is_dc:
+                from dcvc_tpu.utils.stream import decode_i, encode_i
+
+                comp = rt.compress(x, q_in_ckpt=False, q_index=int(q))
+                os.makedirs(args.stream_path, exist_ok=True)
+                bin_path = os.path.join(args.stream_path,
+                                        f"{name}_{rate_idx}.bin")
+                encode_i(h, w, False, int(q), comp["bit_stream"], bin_path)
+                bit = filesize(bin_path) * 8
+                t1 = time.time()
+                hh, ww, q_in_ckpt, q_idx, stream = decode_i(bin_path)
+                dec = rt.decompress(stream, hh, ww, q_in_ckpt, q_idx)
+                x_hat = dec["x_hat"]
+            elif is_dc:
+                out = rt.forward(x, q_in_ckpt=False, q_index=int(q))
+                bit = float(out["bit"])
+                t1 = time.time()
+                x_hat = out["x_hat"]
+            elif args.write_stream and q is None:  # per-rate zoo model
                 comp = rt.compress(x)
                 os.makedirs(args.stream_path, exist_ok=True)
                 bin_path = os.path.join(args.stream_path,
