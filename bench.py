@@ -55,6 +55,9 @@ import numpy as np
 from dcvc_tpu.models.video_dc import DMC
 
 REFERENCE_GPU_FPS = 0.71  # 1/(0.8s enc + 0.6s dec) @1080p, DCVC-DC paper-era
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e public spec
+
+
 
 # RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md §3b/§4): the
 # Pallas DMA block warp at ALL warp sites (OffsetDiversity + mc + SPyNet)
@@ -199,31 +202,38 @@ def _checkpoint_partial(payload):
         pass
 
 
-_PARAMS_CACHE = None
+_PARAMS_CACHE = {}
 
 
-def _build(warp_mode, mc_warp_mode=None, me_warp_mode=None):
+def _build(warp_mode, mc_warp_mode=None, me_warp_mode=None,
+           dtype=jnp.bfloat16):
     # bf16 compute (f32 params): the TPU-idiomatic inference dtype; f32
     # activations at 1080p exceed single-chip HBM in the grouped warp
-    global _PARAMS_CACHE
-    module = DMC(dtype=jnp.bfloat16, od_warp_mode=warp_mode,
+    module = DMC(dtype=dtype, od_warp_mode=warp_mode,
                  mc_warp_mode=mc_warp_mode, me_warp_mode=me_warp_mode)
     qs = {k: jnp.ones(()) for k in ("mv_enc", "mv_dec", "y_enc", "y_dec")}
-    if _PARAMS_CACHE is None:
-        # params are warp-mode independent (warp ops are parameterless), so
-        # one init compile serves every A/B build in the run
+    # params are warp-mode independent (warp ops are parameterless), so one
+    # init compile serves every A/B build in the run — but key the cache on
+    # everything init-relevant (dtype) so a future parameterized mode or
+    # dtype A/B cannot silently reuse mismatched params (ADVICE r4).
+    key = str(jnp.dtype(dtype))
+    if key not in _PARAMS_CACHE:
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         dpb_init = {"ref_frame": x0, "ref_feature": None,
                     "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
-        _PARAMS_CACHE = jax.jit(module.init, static_argnums=(4,))(
+        _PARAMS_CACHE[key] = jax.jit(module.init, static_argnums=(4,))(
             jax.random.PRNGKey(0), x0, dpb_init, qs, 0)
-    return module, _PARAMS_CACHE, qs
+    return module, _PARAMS_CACHE[key], qs
 
 
-def bench_estimated(module, params, qs, H, W, n_iter=8):
+def bench_estimated(module, params, qs, H, W, n_iter=4, repeats=3):
     """Chained dependent P-frames (the real GOP recurrence), one readback
     probe at the end — block_until_ready alone does not reliably block on
-    remote-tunnel platforms."""
+    remote-tunnel platforms.
+
+    Returns {"fps": median-of-``repeats``, "spread": [min, max]} — single
+    timing loops on a noisy shared tunnel produced round-to-round swings
+    the artifact could not distinguish from real regressions (VERDICT r4)."""
 
     @jax.jit
     def p_frame(p, x, dpb, qs):
@@ -247,15 +257,34 @@ def bench_estimated(module, params, qs, H, W, n_iter=8):
     for _ in range(2):
         dpb, bit, probe = p_frame(params, frame, dpb, qs)
     float(probe)
-    t0 = time.time()
     cur = dpb
-    for _ in range(n_iter):
-        cur, bit, probe = p_frame(params, frame, cur, qs)
-    float(probe)
-    return 1.0 / ((time.time() - t0) / n_iter)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(n_iter):
+            cur, bit, probe = p_frame(params, frame, cur, qs)
+        float(probe)
+        samples.append(n_iter / (time.time() - t0))
+    samples.sort()
+    out = {"fps": samples[len(samples) // 2],
+           "spread": [round(samples[0], 3), round(samples[-1], 3)]}
+    # post-optimization FLOPs of the full enc+dec graph (MFU accounting,
+    # VERDICT r4 #5): lower+compile of the SAME program hits the in-memory/
+    # persistent compilation cache, so this costs one retrace, not a
+    # second 1080p AOT compile. Lowered.cost_analysis() is None on this
+    # jax — only Compiled carries the analysis.
+    try:
+        cost = p_frame.lower(params, frame, cur, qs).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        out["flops_per_frame"] = float(cost.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001 — accounting must not kill timing
+        out["flops_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
-def bench_real_coding(module, params, H, W, n_iter=3, deadline_at=None):
+def bench_real_coding(module, params, H, W, n_iter=6, deadline_at=None):
     """write_stream path: actual rANS bitstreams, enc/dec timed separately
     (reference brackets: video_model.py:526-540 + test_video.py:224-227).
     stream_part=3 + ec_thread are the same protocol-legal knobs the reference
@@ -319,7 +348,23 @@ def bench_real_coding(module, params, H, W, n_iter=3, deadline_at=None):
     }
 
 
-def bench_intra(H, W, n_iter=8):
+def _timed_image_fps(step, params, x, n_iter=4, repeats=3):
+    """Median-of-``repeats`` fps for a chained image-codec step fn."""
+    x, probe = step(params, x)
+    float(probe)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(n_iter):
+            x, probe = step(params, x)  # chained: recon feeds next frame
+        float(probe)
+        samples.append(n_iter / (time.time() - t0))
+    samples.sort()
+    return (samples[len(samples) // 2],
+            [round(samples[0], 3), round(samples[-1], 3)])
+
+
+def bench_intra(H, W):
     """IntraNoAR (DC generation) 1080p estimated-bits fps."""
     from dcvc_tpu.models.intra_dc import IntraNoAR
 
@@ -334,16 +379,10 @@ def bench_intra(H, W, n_iter=8):
         return out["x_hat"], jnp.sum(out["x_hat"])
 
     x = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 3), jnp.float32)
-    _, probe = step(params, x)
-    float(probe)
-    t0 = time.time()
-    for _ in range(n_iter):
-        x, probe = step(params, x)  # chained: recon feeds the next frame
-    float(probe)
-    return 1.0 / ((time.time() - t0) / n_iter)
+    return _timed_image_fps(step, params, x)
 
 
-def bench_evc(H, W, n_iter=8, variant="evc_SS"):
+def bench_evc(H, W, variant="evc_SS"):
     """EVC (speed-oriented image codec) 1080p estimated-bits fps."""
     from dcvc_tpu.models.registry import build
 
@@ -355,13 +394,7 @@ def bench_evc(H, W, n_iter=8, variant="evc_SS"):
         return out["x_hat"], jnp.sum(out["x_hat"])
 
     x = jax.random.uniform(jax.random.PRNGKey(4), (1, H, W, 3), jnp.float32)
-    _, probe = step(params, x)
-    float(probe)
-    t0 = time.time()
-    for _ in range(n_iter):
-        x, probe = step(params, x)
-    float(probe)
-    return 1.0 / ((time.time() - t0) / n_iter)
+    return _timed_image_fps(step, params, x)
 
 
 def bench_evc_real(H, W, n_iter=3, variant="evc_SS"):
@@ -448,9 +481,12 @@ def child_main(section, budget_s=2700.0):
         # fresh process: measured in the loaded parent, intra reads 0.47
         # fps vs 8.8 in a clean process (resident-executable dispatch
         # degradation, out/r3_diag_pattern*.log)
-        out = {"intra_dc_est_fps": round(bench_intra(H, W), 3)}
+        fps, spread = bench_intra(H, W)
+        out = {"intra_dc_est_fps": round(fps, 3),
+               "intra_dc_est_spread": spread}
     elif section == "evc":
-        out = {"evc_ss_est_fps": round(bench_evc(H, W), 3)}
+        fps, spread = bench_evc(H, W)
+        out = {"evc_ss_est_fps": round(fps, 3), "evc_ss_est_spread": spread}
     else:
         raise SystemExit(f"unknown child section {section}")
     print("CHILD_JSON:" + json.dumps(out), flush=True)
@@ -490,17 +526,18 @@ def main():
 
     def _headline():
         module, params, qs = _build(*HEADLINE_MODES)
-        fps = bench_estimated(module, params, qs, H, W)
-        return fps, module, params
+        stats = bench_estimated(module, params, qs, H, W)
+        return stats, module, params, qs
 
     # The headline number gets the most retries — a torn timing loop is
     # re-measured from scratch (round 2 lost its artifact to one drop here).
     head = _resilient("headline", _headline, retries=6, delay=60.0)
-    module = params = None
+    module = params = qs = None
     if isinstance(head, tuple):
-        fps, module, params = head
-        payload["value"] = round(fps, 3)
-        payload["vs_baseline"] = round(fps / REFERENCE_GPU_FPS, 3)
+        stats, module, params, qs = head
+        payload["value"] = round(stats["fps"], 3)
+        payload["vs_baseline"] = round(stats["fps"] / REFERENCE_GPU_FPS, 3)
+        extra["headline_spread"] = stats["spread"]
     else:
         extra["headline_error"] = head
     _checkpoint_partial(payload)
@@ -518,20 +555,60 @@ def main():
             extra["real_coding"] = extra_rc
         _checkpoint_partial(payload)
 
+    exact_flops = {}
+
     def _exact():
         module_e, params_e, qs_e = _build("exact")
-        return round(bench_estimated(module_e, params_e, qs_e, H, W,
-                                     n_iter=4), 3)
+        stats = bench_estimated(module_e, params_e, qs_e, H, W)
+        extra["est_fps_exact_warp_spread"] = stats["spread"]
+        if "flops_per_frame" in stats:
+            exact_flops["flops"] = stats["flops_per_frame"]
+        return round(stats["fps"], 3)
 
     if not _skip("exact_warp", 240):
         extra["est_fps_exact_warp"] = _resilient("exact_warp", _exact,
                                                  retries=2, delay=20.0)
         _checkpoint_partial(payload)
 
-    for sec in ("intra", "evc"):
+    # MFU / roofline accounting (VERDICT r4 missing #5): XLA cost-analysis
+    # FLOPs for the full enc+dec P-frame graph (captured by the timing
+    # sections from their own compiled executables) x measured fps, vs the
+    # v5e bf16 peak — answers "fast, or merely faster than a provisional
+    # baseline?" from the artifact alone. Reference analogue:
+    # EVC/model_complexity.py:26-32 (ptflops MACs on 1920x1088).
+    mfu = {"peak_bf16_tflops": V5E_BF16_PEAK_TFLOPS}
+    for name, flops, fps in (
+            ("block", head[0].get("flops_per_frame")
+             if isinstance(head, tuple) else None, payload["value"]),
+            ("exact", exact_flops.get("flops"),
+             extra.get("est_fps_exact_warp"))):
+        if flops is None:
+            continue
+        mfu[name + "_flops_per_frame_g"] = round(flops / 1e9, 1)
+        if isinstance(fps, (int, float)):
+            ach = flops * fps / 1e12
+            mfu[name + "_achieved_tflops"] = round(ach, 3)
+            mfu[name + "_mfu_pct"] = round(
+                100.0 * ach / V5E_BF16_PEAK_TFLOPS, 2)
+    if len(mfu) > 1:
+        extra["mfu"] = mfu
+        _checkpoint_partial(payload)
+
+    # evc gets a larger child budget: its 1080p compile alone overran the
+    # old 300s budget every round (r4 note: "child hit 300s budget during
+    # warmup/compile"). A child killed mid-warmup returns a *_note stub —
+    # treat that as a FAILURE so _resilient retries: the persistent compile
+    # cache makes the second child's warmup nearly free.
+    for sec, child_budget in (("intra", 300), ("evc", 540)):
         if not _skip(sec, 180):
-            r = _resilient(sec, lambda s=sec: _run_child(s, timeout=300),
-                           retries=2, delay=20.0)
+            def _sec(s=sec, b=child_budget):
+                r = _run_child(s, timeout=b)
+                if isinstance(r, dict) and all(k.endswith("_note")
+                                               for k in r):
+                    raise RuntimeError(f"child stub: {r}")
+                return r
+
+            r = _resilient(sec, _sec, retries=2, delay=20.0)
             if isinstance(r, dict):
                 extra.update(r)
             else:
@@ -551,7 +628,9 @@ def main():
 
         def _alt():
             m, p, q = _build(*modes)
-            return round(bench_estimated(m, p, q, H, W, n_iter=4), 3)
+            stats = bench_estimated(m, p, q, H, W)
+            extra["est_fps_alt_spread"] = stats["spread"]
+            return round(stats["fps"], 3)
 
         extra["est_fps_alt"] = _resilient("alt_mode", _alt, retries=2,
                                           delay=20.0)

@@ -111,8 +111,13 @@ class _HyperBase(nn.Module):
         v = jnp.abs(y_q)
         # ndtr rejects bf16, and tail probabilities need f32 anyway
         # (entropy/bits.py:gaussian_cdf does the same)
-        z_hi = ((0.5 - v) / scales).astype(jnp.float32)
-        z_lo = ((-0.5 - v) / scales).astype(jnp.float32)
+        # upcast BEFORE the subtract/divide: computing (0.5 - v) / scales
+        # in bf16 quantizes the z-score to ~8 mantissa bits and skews bit
+        # estimates vs the reference's full-f32 path (ADVICE r4).
+        v32 = v.astype(jnp.float32)
+        s32 = scales.astype(jnp.float32)
+        z_hi = (0.5 - v32) / s32
+        z_lo = (-0.5 - v32) / s32
         probs = jax.scipy.special.ndtr(z_hi) - jax.scipy.special.ndtr(z_lo)
         return -jnp.log2(jnp.maximum(probs, 1e-9)).astype(v.dtype)
 

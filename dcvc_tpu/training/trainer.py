@@ -167,11 +167,15 @@ class PFrameTrainer:
 
     def fit(self, dataset, batch_size: int = 4, steps_per_epoch: int = 100,
             log_every: int = 20, save_every_epoch: bool = True,
-            val_dataset=None, val_steps: int = 8, epoch_offset: int = 0):
+            val_dataset=None, val_steps: int = 8, epoch_offset: int = 0,
+            last_epoch_steps: int | None = None):
         """``val_dataset`` adds a per-epoch no-update validation pass (the
         fork validates each epoch against the first GOP of every test
         sequence, train_CANFVC_DMC.py:241-320); val loss lands in
-        history[..]["val_loss"]."""
+        history[..]["val_loss"]. ``last_epoch_steps`` shortens the FINAL
+        epoch of each stage so a total step budget that is not a multiple
+        of steps_per_epoch is honored exactly (ADVICE r4: the previous
+        behavior rounded up by as much as steps_per_epoch-1 steps)."""
         global_step = 0
         for stage in self.schedule:
             tx, step = self._build_step(stage, steps_per_epoch)
@@ -179,7 +183,10 @@ class PFrameTrainer:
             for epoch in range(stage.epochs):
                 t0 = time.time()
                 losses = []
-                for clip in dataset.batches(batch_size, steps_per_epoch):
+                n_steps = (last_epoch_steps
+                           if last_epoch_steps and epoch == stage.epochs - 1
+                           else steps_per_epoch)
+                for clip in dataset.batches(batch_size, n_steps):
                     B = clip.shape[0]
                     levels = (np.arange(B) + global_step) % 4
                     lambdas = jnp.asarray(np.asarray(TRAIN_LAMBDAS)[levels])

@@ -267,54 +267,92 @@ def run_dmc(args):
         for _ in range(args.n_pairs):
             pairs.append(_moving_clip(H, W, rng, mag=args.motion))
 
-    results = {}
-    for mode in ["exact"] + args.tile_modes.split("+"):
+    modes = ["exact"] + args.tile_modes.split("+")
+    built = {}
+    for mode in modes:
         module, params, qs = build(mode)
         if args.model == "hem":
-            fwd = jax.jit(lambda p, x, dpb, qs: module.apply(
+            fwd = jax.jit(lambda p, x, dpb, qd, m=module: m.apply(
                 p, x, {k: dpb[k] for k in ("ref_frame", "ref_feature",
                                            "ref_y", "ref_mv_y")},
-                jnp.ones(()), jnp.ones(())))
+                qd["y_enc"], qd["y_dec"]))
         elif args.model == "tcm":
-            fwd = jax.jit(lambda p, x, dpb, qs: module.apply(
+            fwd = jax.jit(lambda p, x, dpb, qd, m=module: m.apply(
                 p, x, dpb["ref_frame"], None))
         else:
             fwd = jax.jit(
-                lambda p, x, dpb, qs: module.apply(p, x, dpb, qs, 1))
-        psnrs, bpps, xhats = [], [], []
-        for f0, f1 in pairs:
-            x = jnp.asarray(f1)[None]
-            dpb = {"ref_frame": jnp.asarray(f0)[None], "ref_feature": None,
-                   "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
-            out = fwd(params, x, dpb, qs)
-            rec = (out["dpb"]["ref_frame"] if "dpb" in out
-                   else out["recon_image"])  # TCM has no DPB dict
-            x_hat = np.asarray(rec, np.float32)
-            mse = float(np.mean((np.asarray(x, np.float32) - x_hat) ** 2))
-            psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
-            bpps.append(float(np.mean(np.asarray(out["bpp"], np.float32))))
-            xhats.append(x_hat)
-        results[mode] = {"psnr": psnrs, "bpp": bpps, "x_hat": xhats}
-    ex = results["exact"]
-    for mode, r in results.items():
-        dpsnr = np.asarray(r["psnr"]) - np.asarray(ex["psnr"])
-        dbpp = 100 * (np.asarray(r["bpp"]) - np.asarray(ex["bpp"])) \
-            / np.maximum(np.asarray(ex["bpp"]), 1e-9)
-        drift = np.asarray([float(np.mean((a - b) ** 2))
-                            for a, b in zip(r["x_hat"], ex["x_hat"])])
-        print(json.dumps({
-            "mode": mode,
-            "psnr": round(float(np.mean(r["psnr"])), 4),
-            "dpsnr_vs_exact_mean": round(float(dpsnr.mean()), 4),
-            "dpsnr_vs_exact_worst": round(float(dpsnr.min()), 4),
-            "bpp": round(float(np.mean(r["bpp"])), 6),
-            "dbpp_pct_mean": round(float(dbpp.mean()), 3),
-            "dbpp_pct_worst": round(float(np.max(np.abs(dbpp))), 3),
-            "recon_drift_psnr": round(float(10 * np.log10(
-                1.0 / max(drift.mean(), 1e-12))), 2),
-            "n_pairs": len(pairs),
-        }))
-    return results
+                lambda p, x, dpb, qd, m=module: m.apply(p, x, dpb, qd, 1))
+        built[mode] = (params, fwd)
+
+    # Multiple rate points (VERDICT r4 #2b): scale the encoder q up / the
+    # decoder q down by s (finer quantization = more bits), giving a real
+    # RD sweep on the same weights — the reference's y_q_scale grid does
+    # the same thing with learned per-index values (video_model.py q_scale
+    # vectors). With >=3 points a BD-rate vs exact is reported per mode.
+    q_list = [float(s) for s in args.q_scales.split(",")]
+    rd_curves = {m: {"bpp": [], "psnr": []} for m in modes}
+    for qv in q_list:
+        qd = {"mv_enc": jnp.asarray(qv), "mv_dec": jnp.asarray(1.0 / qv),
+              "y_enc": jnp.asarray(qv), "y_dec": jnp.asarray(1.0 / qv)}
+        results = {}
+        for mode in modes:
+            params, fwd = built[mode]
+            psnrs, bpps, xhats = [], [], []
+            for f0, f1 in pairs:
+                x = jnp.asarray(f1)[None]
+                dpb = {"ref_frame": jnp.asarray(f0)[None],
+                       "ref_feature": None, "ref_mv_feature": None,
+                       "ref_y": None, "ref_mv_y": None}
+                out = fwd(params, x, dpb, qd)
+                rec = (out["dpb"]["ref_frame"] if "dpb" in out
+                       else out["recon_image"])  # TCM has no DPB dict
+                x_hat = np.asarray(rec, np.float32)
+                mse = float(np.mean(
+                    (np.asarray(x, np.float32) - x_hat) ** 2))
+                psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+                bpps.append(float(np.mean(np.asarray(out["bpp"],
+                                                     np.float32))))
+                xhats.append(x_hat)
+            results[mode] = {"psnr": psnrs, "bpp": bpps, "x_hat": xhats}
+        ex = results["exact"]
+        for mode, r in results.items():
+            dpsnr = np.asarray(r["psnr"]) - np.asarray(ex["psnr"])
+            dbpp = 100 * (np.asarray(r["bpp"]) - np.asarray(ex["bpp"])) \
+                / np.maximum(np.asarray(ex["bpp"]), 1e-9)
+            drift = np.asarray([float(np.mean((a - b) ** 2))
+                                for a, b in zip(r["x_hat"], ex["x_hat"])])
+            rd_curves[mode]["bpp"].append(float(np.mean(r["bpp"])))
+            rd_curves[mode]["psnr"].append(float(np.mean(r["psnr"])))
+            print(json.dumps({
+                "mode": mode,
+                "q": qv,
+                "psnr": round(float(np.mean(r["psnr"])), 4),
+                "dpsnr_vs_exact_mean": round(float(dpsnr.mean()), 4),
+                "dpsnr_vs_exact_worst": round(float(dpsnr.min()), 4),
+                "bpp": round(float(np.mean(r["bpp"])), 6),
+                "dbpp_pct_mean": round(float(dbpp.mean()), 3),
+                "dbpp_pct_worst": round(float(np.max(np.abs(dbpp))), 3),
+                "recon_drift_psnr": round(float(10 * np.log10(
+                    1.0 / max(drift.mean(), 1e-12))), 2),
+                "n_pairs": len(pairs),
+            }), flush=True)
+    if len(q_list) >= 3:
+        from dcvc_tpu.utils.rd_numbers import bd_psnr, bd_rate
+
+        exc = rd_curves["exact"]
+        for mode in modes:
+            if mode == "exact":
+                continue
+            c = rd_curves[mode]
+            print(json.dumps({
+                "mode": mode,
+                "bd_rate_pct_vs_exact": round(bd_rate(
+                    exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 4),
+                "bd_psnr_db_vs_exact": round(bd_psnr(
+                    exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 5),
+                "n_rate_points": len(q_list),
+            }), flush=True)
+    return rd_curves
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +433,9 @@ def main():
                    help="dmc mode eval pairs: layered synthetic, or "
                         "in-distribution MotionClips (proxy training data)")
     p.add_argument("--n_pairs", type=int, default=1)
+    p.add_argument("--q_scales", default="1.0",
+                   help="comma list of q multipliers (enc*s, dec/s) — "
+                        ">=3 values adds a BD-rate-vs-exact line per mode")
     p.add_argument("--tile_modes", default="tile:16,2+tile:32,1+tile:64,1")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--bf16", action="store_true")

@@ -13,7 +13,10 @@ ARGS=${PROXY_ARGS:---crop 256 --batch_size 2 --flow_steps 800 \
 rm -f "$WORKDIR/proxy_check.json"
 for attempt in $(seq 1 15); do
     echo "=== attempt $attempt $(date -u +%H:%M:%S) ===" >> "$LOG"
-    python tools/train_warp_proxy.py $ARGS --workdir "$WORKDIR" \
+    # -u: stdout is block-buffered when redirected; without it the
+    # per-step progress print can sit unflushed past STALL_S and the
+    # babysitter kills healthy runs (ADVICE r4).
+    python -u tools/train_warp_proxy.py $ARGS --workdir "$WORKDIR" \
         >> "$LOG" 2>&1 &
     PID=$!
     while kill -0 "$PID" 2>/dev/null; do

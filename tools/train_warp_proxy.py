@@ -146,9 +146,14 @@ def main():
         return (os.path.join(args.workdir, f"{stage_name}_ep{last}.npz"),
                 epochs - last - 1)
 
-    stages = []  # (Stage, steps_per_epoch, batch_size, epoch_offset)
+    # (Stage, steps_per_epoch, batch_size, epoch_offset, last_epoch_steps)
+    # last_epoch_steps makes the final epoch run the REMAINDER so the
+    # requested step total is honored exactly (ADVICE r4: ceil-chunking
+    # used to overshoot by up to EP-1 steps).
+    stages = []
     if args.rd_steps:
         n_ep = max(1, (args.rd_steps + EP - 1) // EP)
+        rem = args.rd_steps - EP * (n_ep - 1) if args.rd_steps > EP else None
         ck, left = _resume("proxy_joint", n_ep)
         if ck:
             print(f"phase B resume: {ck} ({left} epochs left)", flush=True)
@@ -158,9 +163,11 @@ def main():
                                  cascade_frames=1, detach=True, lr=1e-4,
                                  remat=remat),
                            min(EP, args.rd_steps), args.batch_size,
-                           n_ep - left))
+                           n_ep - left, rem))
     if args.cascade_steps:
         n_ep_c = max(1, (args.cascade_steps + EP - 1) // EP)
+        rem_c = (args.cascade_steps - EP * (n_ep_c - 1)
+                 if args.cascade_steps > EP else None)
         ck, left_c = _resume("proxy_cascade", n_ep_c)
         if ck:
             print(f"cascade resume: {ck} ({left_c} epochs left)", flush=True)
@@ -171,15 +178,15 @@ def main():
                                  remat=remat),
                            min(EP, args.cascade_steps),
                            max(args.batch_size // 2, 1),
-                           n_ep_c - left_c))
+                           n_ep_c - left_c, rem_c))
     if stages:
         trainer = PFrameTrainer(module, params, schedule=[],
                                 workdir=args.workdir)
-        for stage, per_ep, bs, ep_off in stages:
+        for stage, per_ep, bs, ep_off, last_ep in stages:
             trainer.schedule = [stage]
             trainer.fit(data, batch_size=bs, steps_per_epoch=per_ep,
                         log_every=50, save_every_epoch=True,
-                        epoch_offset=ep_off)
+                        epoch_offset=ep_off, last_epoch_steps=last_ep)
         params = trainer.params
     save_params(os.path.join(args.workdir, "proxy.npz"), params)
 
