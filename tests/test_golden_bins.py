@@ -40,7 +40,7 @@ GOLDEN = Path(__file__).parent / "golden"
 MANIFEST = GOLDEN / "manifest.json"
 
 
-def _img(h=128, w=128, seed=0, shift=0):
+def _img(h=128, w=128, seed=0, shift=0, gain=1.0):
     """Smooth base + pixel noise: random-init models emit near-zero latents
     on smooth inputs (degenerate few-byte streams); the noise floor keeps
     enough symbol mass in every plane for the pin to mean something."""
@@ -52,7 +52,7 @@ def _img(h=128, w=128, seed=0, shift=0):
     # deliberately out-of-gamut dynamic range: random-init encoders emit
     # near-zero latents on [0,1] inputs, which would make every y-plane an
     # all-zero-symbol stream; x6 drive puts real symbol mass in the pins
-    return ((img + noise) * 6.0 - 2.5).astype(jnp.float32)
+    return (((img + noise) * 6.0 - 2.5) * gain).astype(jnp.float32)
 
 
 # --- per-generation fixtures: (container_bytes, decoded_recon, enc_recon) ---
@@ -68,7 +68,7 @@ def _case_dc_intra():
                          jnp.ones(()), jnp.ones(()))
     rt = IntraDcRuntime(module, params)
     rt.update(force=True)
-    x = _img(seed=11)
+    x = _img(seed=11, gain=1.5)
     comp = rt.compress(x, q_in_ckpt=True, q_index=0)
     data = pack_i(128, 128, True, 0, comp["bit_stream"])
     h, w, q_in_ckpt, q_index, stream = unpack_i(data)
@@ -90,14 +90,14 @@ def _case_dc_p():
         jax.random.PRNGKey(0), x0, dpb0, qs, 0)
     rt = DmcRuntime(module, params)
     rt.update(force=True)
-    ref = _img(seed=12)
-    x = _img(seed=112)  # independent content: real mv+residual symbol mass
+    ref = _img(192, 192, seed=12, gain=3.0)
+    x = _img(192, 192, seed=112, gain=3.0)  # independent content: real symbol mass
     dpb = {"ref_frame": ref, "ref_feature": None, "ref_mv_feature": None,
            "ref_y": None, "ref_mv_y": None}
     comp = rt.compress(x, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
     data = pack_p(comp["bit_stream"], True, 0, 1)
     q_in_ckpt, q_index, frame_idx, stream = unpack_p(data)
-    dec = rt.decompress(dpb, stream, 128, 128, q_in_ckpt, q_index, frame_idx)
+    dec = rt.decompress(dpb, stream, 192, 192, q_in_ckpt, q_index, frame_idx)
     return (data, np.asarray(dec["dpb"]["ref_frame"]),
             np.asarray(comp["dpb"]["ref_frame"]))
 
@@ -115,8 +115,8 @@ def _case_hem_p():
                          jnp.ones(()))
     rt = HemVideoRuntime(module, params)
     rt.update(force=True)
-    ref = _img(seed=13)
-    x = _img(seed=113)
+    ref = _img(192, 192, seed=13, gain=3.0)
+    x = _img(192, 192, seed=113, gain=3.0)
     dpb = {"ref_frame": ref, "ref_feature": None, "ref_y": None,
            "ref_mv_y": None}
     mv_q, mv_q_idx = get_rounded_q(0.9)
@@ -129,7 +129,7 @@ def _case_hem_p():
     y_i, mv_i = struct.unpack(">2H", data[:4])
     length = struct.unpack(">I", data[4:8])[0]
     stream = data[8:8 + length]
-    dec = rt.decompress(dpb, stream, 128, 128, mv_i / 100, y_i / 100)
+    dec = rt.decompress(dpb, stream, 192, 192, mv_i / 100, y_i / 100)
     return (data, np.asarray(dec["dpb"]["ref_frame"]),
             np.asarray(comp["dpb"]["ref_frame"]))
 
@@ -143,11 +143,11 @@ def _case_tcm_p():
     params = module.init(jax.random.PRNGKey(0), x0, x0, None)
     rt = TcmVideoRuntime(module, params)
     rt.update(force=True)
-    ref = _img(seed=14)
-    x = _img(seed=114)
+    ref = _img(192, 192, seed=14, gain=12.0)
+    x = _img(192, 192, seed=114, gain=12.0)
     comp = rt.compress(x, ref, None)
     data = bytes(comp["bit_stream"])  # TCM writes the bare payload
-    dec = rt.decompress(ref, None, data, 128, 128)
+    dec = rt.decompress(ref, None, data, 192, 192)
     return data, np.asarray(dec["x_hat"]), np.asarray(comp["x_hat"])
 
 
@@ -161,13 +161,13 @@ def _case_gen1_p():
     params = module.init(jax.random.PRNGKey(0), x0, x0)
     rt = DcvcGen1Runtime(module, params)
     rt.update(force=True)
-    ref = _img(seed=15)
-    x = _img(seed=115)
+    ref = _img(192, 192, seed=15, gain=12.0)
+    x = _img(192, 192, seed=115, gain=12.0)
     comp = rt.compress(ref, x)
     data = pack_strings([comp["mv_z_string"], comp["mv_y_string"],
                          comp["z_string"], comp["y_string"]])
     mv_z, mv_y, z, y = unpack_strings(data)
-    dec = rt.decompress(ref, mv_y, mv_z, y, z, 128, 128)
+    dec = rt.decompress(ref, mv_y, mv_z, y, z, 192, 192)
     return (data, np.asarray(dec["recon_image"]),
             np.asarray(comp["recon_image"]))
 
