@@ -344,14 +344,18 @@ def run_dmc(args):
             if mode == "exact":
                 continue
             c = rd_curves[mode]
-            print(json.dumps({
-                "mode": mode,
-                "bd_rate_pct_vs_exact": round(bd_rate(
-                    exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 4),
-                "bd_psnr_db_vs_exact": round(bd_psnr(
-                    exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 5),
-                "n_rate_points": len(q_list),
-            }), flush=True)
+            try:
+                line = {
+                    "mode": mode,
+                    "bd_rate_pct_vs_exact": round(bd_rate(
+                        exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 4),
+                    "bd_psnr_db_vs_exact": round(bd_psnr(
+                        exc["bpp"], exc["psnr"], c["bpp"], c["psnr"]), 5),
+                    "n_rate_points": len(q_list),
+                }
+            except ValueError as e:  # degenerate curve (e.g. random init)
+                line = {"mode": mode, "bd_error": str(e)}
+            print(json.dumps(line), flush=True)
     return rd_curves
 
 
