@@ -1022,6 +1022,26 @@ class IntraDcRuntime(_RuntimeBase):
             lambda p, pr, sofar, qd: m.apply(p, pr, sofar, qd,
                                              method=mt.decode_synthesis))
 
+        # round-5 decode fusions (DmcRuntime counterpart): z-upload +
+        # hyper prior + step-0 scales in one dispatch; step-3 scatter +
+        # synthesis in one dispatch. 7 dispatches -> 5 per image.
+        def prior_scales0(p, z_hat, yh, yw):
+            pr = m.apply(p, z_hat, yh, yw, method=mt.decode_prior)
+            so_far = jnp.zeros((pr.shape[0], pr.shape[1], pr.shape[2],
+                                m.N), pr.dtype)
+            scales_r, means_parts = m.apply(p, pr, so_far, 0,
+                                            method=mt.decode_scales_step)
+            return pr, idx16(scales_r).astype(jnp.float32), tuple(means_parts)
+
+        self._prior_scales0 = jax.jit(prior_scales0, static_argnums=(2, 3))
+
+        def synth_final(p, pr, sofar, yq3, mp3, qd):
+            sofar2 = priors.four_part_decode_update(
+                pr, sofar, yq3.astype(pr.dtype), mp3, 3)
+            return m.apply(p, pr, sofar2, qd, method=mt.decode_synthesis)
+
+        self._synth_final = jax.jit(synth_final)
+
         # fine q tables are derived from the anchor q_scale params at load
         from .intra_dc import build_fine_q_tables
         p = params["params"]
@@ -1073,9 +1093,6 @@ class IntraDcRuntime(_RuntimeBase):
         yh, yw = get_downsampled_shape(height, width, 16)
         z_hat = jnp.asarray(self._decode_z("bit_estimator_z",
                                            (1, zh, zw, self.module.N)))
-        params = self._prior(self.params, z_hat, yh, yw)
-
-        so_far = jnp.zeros((1, yh, yw, self.module.N), params.dtype)
 
         def _host_decode(idx_r):
             return jnp.asarray(
@@ -1083,15 +1100,16 @@ class IntraDcRuntime(_RuntimeBase):
                                                   np.asarray(idx_r))
                 .astype(np.float32))
 
-        idx_r, means_parts = self._scales_step(self.params, params,
-                                               so_far, 0)
+        # fused-boundary decode: 5 dispatches instead of 7 (see __init__)
+        params, idx_r, means_parts = self._prior_scales0(
+            self.params, z_hat, yh, yw)
+        so_far = jnp.zeros((1, yh, yw, self.module.N), params.dtype)
         y_q_r = _host_decode(idx_r)
         for step in range(1, 4):
             so_far, idx_r, means_parts = self._update_scales_step(
                 self.params, params, so_far, y_q_r, tuple(means_parts),
                 step - 1)
             y_q_r = _host_decode(idx_r)
-        so_far = self._update_step(params, so_far, y_q_r,
-                                   tuple(means_parts), 3)
-        x_hat = self._synth(self.params, params, so_far, qd)
+        x_hat = self._synth_final(self.params, params, so_far, y_q_r,
+                                  tuple(means_parts), qd)
         return {"x_hat": x_hat}
