@@ -59,16 +59,18 @@ V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e public spec
 
 
 
-# RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md §3b/§4): the
-# Pallas DMA block warp at ALL warp sites (OffsetDiversity + mc + SPyNet)
-# — passes the end-metric gate on reference-trained dynamics with the best
-# margin of any approximate mode (|dPSNR| <= 0.0002 dB, 85-88 dB recon
-# drift); recon drift absorbed by the residual coder. Exact warp
-# everywhere else. DCVC_TPU_BENCH_WARP overrides the headline od-site
-# mode; "all:<mode>" applies <mode> to all three sites.
-from dcvc_tpu.ops.warp import RD_GATED_BLOCK_MODE, RD_GATED_TILE_MODE
+# RD-gated TPU default (tools/od_warp_study.py + RDNOTES.md §6): the
+# Pallas DMA block warp at the OffsetDiversity site ONLY, exact mc/me —
+# the round-5 converged-proxy gate (16 pairs x 3 rate points x 2
+# datasets, out/r5_gate.log) passes od-only with 10-60x margin (worst
+# dPSNR -0.010 dB) and FAILS the all-sites variant (worst -0.326 dB), so
+# the previous all-sites headline default was demoted. The all-sites
+# mode is still measured as the alt section for the A/B record.
+# DCVC_TPU_BENCH_WARP overrides the headline od-site mode; "all:<mode>"
+# applies <mode> to all three sites.
+from dcvc_tpu.ops.warp import RD_GATED_BLOCK_MODE
 
-_BW = os.environ.get("DCVC_TPU_BENCH_WARP", "all:" + RD_GATED_BLOCK_MODE)
+_BW = os.environ.get("DCVC_TPU_BENCH_WARP", RD_GATED_BLOCK_MODE)
 if _BW.startswith("all:"):
     HEADLINE_MODES = (_BW[4:],) * 3
 elif _BW.startswith("alltile:"):
@@ -594,30 +596,24 @@ def main():
         extra["mfu"] = mfu
         _checkpoint_partial(payload)
 
-    # evc gets a larger child budget: its 1080p compile alone overran the
-    # old 300s budget every round (r4 note: "child hit 300s budget during
-    # warmup/compile"). A child killed mid-warmup returns a *_note stub —
-    # treat that as a FAILURE so _resilient retries: the persistent compile
-    # cache makes the second child's warmup nearly free.
-    for sec, child_budget in (("intra", 300), ("evc", 540)):
-        if not _skip(sec, 180):
-            def _sec(s=sec, b=child_budget):
-                r = _run_child(s, timeout=b)
-                if isinstance(r, dict) and all(k.endswith("_note")
-                                               for k in r):
-                    raise RuntimeError(f"child stub: {r}")
-                return r
+    if not _skip("intra", 180):
+        def _intra():
+            r = _run_child("intra", timeout=300)
+            if isinstance(r, dict) and all(k.endswith("_note") for k in r):
+                raise RuntimeError(f"child stub: {r}")
+            return r
 
-            r = _resilient(sec, _sec, retries=2, delay=20.0)
-            if isinstance(r, dict):
-                extra.update(r)
-            else:
-                extra[sec] = r
-            _checkpoint_partial(payload)
+        r = _resilient("intra", _intra, retries=2, delay=20.0)
+        if isinstance(r, dict):
+            extra.update(r)
+        else:
+            extra["intra"] = r
+        _checkpoint_partial(payload)
 
-    # Previous default (tile family optimum) — recorded so each BENCH
-    # artifact carries the A/B against the prior round's shipped mode.
-    alt = os.environ.get("DCVC_TPU_BENCH_ALT", RD_GATED_TILE_MODE)
+    # Previous default (all-sites block, demoted by the round-5 gate) —
+    # recorded so each BENCH artifact carries the A/B against the prior
+    # round's shipped mode and the cost of the demotion stays visible.
+    alt = os.environ.get("DCVC_TPU_BENCH_ALT", "all:" + RD_GATED_BLOCK_MODE)
     if alt and not _skip("alt_mode", 240):
         if alt.startswith("alltile:"):
             modes = ("tile:" + alt.split(":", 1)[1],) * 3
@@ -644,6 +640,27 @@ def main():
             extra.update(evc_rc)
         else:
             extra["evc_real"] = evc_rc
+        _checkpoint_partial(payload)
+
+    # evc estimated-bits runs LAST with a larger child budget: its 1080p
+    # compile alone overran the old 300s budget every round (r4 note:
+    # "child hit 300s budget during warmup/compile"), and at the end of
+    # the run it can consume whatever budget remains without starving the
+    # sections that have always landed. A child killed mid-warmup returns
+    # a *_note stub — treated as FAILURE so _resilient retries; the
+    # persistent compile cache makes the second child's warmup nearly free.
+    if not _skip("evc", 180):
+        def _evc():
+            r = _run_child("evc", timeout=540)
+            if isinstance(r, dict) and all(k.endswith("_note") for k in r):
+                raise RuntimeError(f"child stub: {r}")
+            return r
+
+        r = _resilient("evc", _evc, retries=2, delay=20.0)
+        if isinstance(r, dict):
+            extra.update(r)
+        else:
+            extra["evc"] = r
         _checkpoint_partial(payload)
 
     # Last-resort headline: if the gated default never completed but the

@@ -226,27 +226,28 @@ def flow_warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 # accuracy class (43-48 dB) is below "visually exact".
 RD_GATED_TILE_MODE = "tile:32,2,median"
 
-# The Pallas DMA block warp (ops/block_warp.py) replaced the tile mode as
-# the shipped TPU inference default once it compiled on hardware
-# (2026-08-19, out/r3_inmodel_ab2.log): it has the best RD-gate margin of
-# ANY approximate mode (85.5-88 dB recon drift on reference-trained
-# dynamics, bit-exact on pan/zoom/turbulence families; RDNOTES.md §3b) and
-# the best wall-clock — in-model 1080p A/B: exact 0.632 fps, tile:32,2
-# 0.905, block at OD only 1.43, od+mc 1.62, od+mc+me 1.73. The `mean`
-# base (1.78 fps) stays opt-in: median4 matches the median family's
-# bit-exact synthetic stats. Unlike the tile family (whose fixed per-run
-# resolve overhead LOSES at the channel-wide mc/me sites, RDNOTES §4),
-# the block kernel wins at every warp site, so mc/me default to it too.
+# The Pallas DMA block warp (ops/block_warp.py) is the shipped TPU
+# inference default at the OffsetDiversity site ONLY (round 5): the
+# round-5 converged-proxy gate at eval resolution (out/r5_gate.log,
+# RDNOTES.md §6: 16 pairs x 3 rate points x 2 datasets) passes od-only
+# block with 10-60x margin everywhere (worst dPSNR -0.010 dB, worst dbpp
+# 0.088%), while the all-sites variant FAILS the |dPSNR| <= 0.1 dB gate
+# (worst -0.326 dB on motion pairs at q=0.6, +0.14 dB on synthetic at
+# q=1.0) — the earlier §3b "identical to od-only" reading was a property
+# of under-trained dynamics. Wall-clock (out/r3_inmodel_ab2.log): exact
+# 0.632 fps, tile:32,2 0.905, block od-only 1.43, od+mc 1.62, all 1.73;
+# the faster all-sites modes remain opt-in (--mc_warp/--me_warp or
+# DCVC_TPU_{MC,ME}_WARP) for users who accept the measured RD delta.
 RD_GATED_BLOCK_MODE = "block:4,4,64,128,median4"
 
 
-def _default_warp_mode(env_var: str) -> str:
+def _default_warp_mode(env_var: str, tpu_default=RD_GATED_BLOCK_MODE):
     env = os.environ.get(env_var)
     if env:
         return env
     if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         return "exact"
-    return RD_GATED_BLOCK_MODE
+    return tpu_default
 
 
 def default_od_warp_mode() -> str:
@@ -258,22 +259,22 @@ def default_od_warp_mode() -> str:
     return _default_warp_mode("DCVC_TPU_OD_WARP")
 
 
-def default_mc_warp_mode() -> str:
+def default_mc_warp_mode():
     """Default for the motion-compensation warps (warpframe + context1/2/3,
-    video_dc.py:motion_compensation and the HEM/TCM/gen-1 analogues).
-    Same RD-gated block mode: the od+mc gate is identical to od-only
-    (decoded motion fields are smooth, the kernel is in its bit-exact
-    regime there; RDNOTES §3b) and it measured 1.62 vs 1.43 fps.
-    Override with DCVC_TPU_MC_WARP or --mc_warp."""
-    return _default_warp_mode("DCVC_TPU_MC_WARP")
+    video_dc.py:motion_compensation and the HEM/TCM/gen-1 analogues):
+    EXACT since round 5 — the converged-proxy gate failed the block mode
+    at the mc/me sites (see RD_GATED_BLOCK_MODE note; worst -0.326 dB),
+    overturning the §3b under-trained-proxy result that showed them free.
+    Opt back in with DCVC_TPU_MC_WARP or --mc_warp (1.62 vs 1.43 fps)."""
+    return _default_warp_mode("DCVC_TPU_MC_WARP", tpu_default="exact")
 
 
-def default_me_warp_mode() -> str:
+def default_me_warp_mode():
     """Default for the SPyNet motion-estimation pyramid warps
-    (video_net.py:MESpynet). Gate: od+mc+me identical to od+mc
-    (RDNOTES §3b); measured 1.73 vs 1.62 fps.
-    Override with DCVC_TPU_ME_WARP or --me_warp."""
-    return _default_warp_mode("DCVC_TPU_ME_WARP")
+    (video_net.py:MESpynet): EXACT since round 5 (same gate evidence as
+    default_mc_warp_mode). Opt in with DCVC_TPU_ME_WARP or --me_warp
+    (all-sites measured 1.73 vs 1.43 fps od-only)."""
+    return _default_warp_mode("DCVC_TPU_ME_WARP", tpu_default="exact")
 
 
 def default_coding_warp_modes() -> tuple:
