@@ -352,7 +352,11 @@ def bench_real_coding(module, params, H, W, n_iter=6, deadline_at=None):
 
 def _timed_image_fps(step, params, x, n_iter=4, repeats=3):
     """Median-of-``repeats`` fps for a chained image-codec step fn."""
-    x, probe = step(params, x)
+    # 3 warmup rounds: the r5 capture showed the FIRST timed repeat still
+    # 8x slow after a single warmup call (intra spread [1.18, 9.83]) —
+    # remote-platform dispatch needs a few calls to reach steady state.
+    for _ in range(3):
+        x, probe = step(params, x)
     float(probe)
     samples = []
     for _ in range(repeats):
