@@ -706,16 +706,28 @@ class DmcRuntime(_RuntimeBase):
             # roundtrips of the four-part decode (8 -> 5 per plane), the
             # dominant write-stream decode cost on remote-dispatch
             # platforms (PLAN round-3: per-roundtrip latency, not device
-            # work, bounds the tunnel decode path)
-            sofar2 = priors.four_part_decode_update(
-                pr, sofar, yq.astype(pr.dtype), mp, step)
-            scales_r, means_parts = m.apply(p, pr, sofar2, step + 1, which,
-                                            method=mt.decode_scales_step)
-            return (sofar2, idx16(scales_r).astype(jnp.float32),
-                    tuple(means_parts))
+            # work, bounds the tunnel decode path). ``step`` is TRACED
+            # (round 5): a static step forked 3 executables per plane (6
+            # live programs), and live-executable count itself degrades
+            # every tunnel roundtrip (out/r3_diag_pattern*.log) — a
+            # lax.switch over the three step branches keeps ONE program
+            # per plane at the cost of compiling all three spatial-prior
+            # convs into it.
+            def mk(s):
+                def branch(_):
+                    sofar2 = priors.four_part_decode_update(
+                        pr, sofar, yq.astype(pr.dtype), mp, s)
+                    scales_r, means_parts = m.apply(
+                        p, pr, sofar2, s + 1, which,
+                        method=mt.decode_scales_step)
+                    return (sofar2, idx16(scales_r).astype(jnp.float32),
+                            tuple(means_parts))
+                return branch
+
+            return jax.lax.switch(step, [mk(0), mk(1), mk(2)], ())
 
         self._update_scales_step = jax.jit(update_scales_step,
-                                           static_argnums=(5, 6))
+                                           static_argnums=(6,))
         self._motion_stage = jax.jit(
             lambda p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw: m.apply(
                 p, mvpr, sofar, mvqd, dpb, z, fi, yh, yw,
@@ -789,6 +801,7 @@ class DmcRuntime(_RuntimeBase):
         # scalars interleave badly with big-program dispatch on remote
         # tunnels, so cache them once
         self._fi_dev = [jnp.asarray(i, jnp.int32) for i in range(4)]
+        self._step_dev = [jnp.asarray(i, jnp.int32) for i in range(3)]
         self._qs_cache: dict = {}
 
     def _z_estimators(self):
@@ -876,7 +889,7 @@ class DmcRuntime(_RuntimeBase):
         for step in range(1, 4):
             so_far, idx_r, means_parts = self._update_scales_step(
                 self.params, params, so_far, y_q_r, tuple(means_parts),
-                step - 1, which)
+                self._step_dev[step - 1], which)
             y_q_r = self._host_decode(idx_r)
         return so_far, y_q_r, tuple(means_parts)
 
@@ -1008,16 +1021,21 @@ class IntraDcRuntime(_RuntimeBase):
 
         def update_scales_step(p, pr, sofar, yq, mp, step):
             # fused scatter + next-step scales: 8 -> 5 serial roundtrips
-            # per decode (see DmcRuntime counterpart)
-            sofar2 = priors.four_part_decode_update(
-                pr, sofar, yq.astype(pr.dtype), mp, step)
-            scales_r, means_parts = m.apply(p, pr, sofar2, step + 1,
-                                            method=mt.decode_scales_step)
-            return (sofar2, idx16(scales_r).astype(jnp.float32),
-                    tuple(means_parts))
+            # per decode; traced step via lax.switch keeps ONE live
+            # executable instead of 3 (see DmcRuntime counterpart)
+            def mk(s):
+                def branch(_):
+                    sofar2 = priors.four_part_decode_update(
+                        pr, sofar, yq.astype(pr.dtype), mp, s)
+                    scales_r, means_parts = m.apply(
+                        p, pr, sofar2, s + 1, method=mt.decode_scales_step)
+                    return (sofar2, idx16(scales_r).astype(jnp.float32),
+                            tuple(means_parts))
+                return branch
 
-        self._update_scales_step = jax.jit(update_scales_step,
-                                           static_argnums=(5,))
+            return jax.lax.switch(step, [mk(0), mk(1), mk(2)], ())
+
+        self._update_scales_step = jax.jit(update_scales_step)
         self._synth = jax.jit(
             lambda p, pr, sofar, qd: m.apply(p, pr, sofar, qd,
                                              method=mt.decode_synthesis))
@@ -1042,6 +1060,7 @@ class IntraDcRuntime(_RuntimeBase):
 
         self._synth_final = jax.jit(synth_final)
 
+        self._step_dev = [jnp.asarray(i, jnp.int32) for i in range(3)]
         # fine q tables are derived from the anchor q_scale params at load
         from .intra_dc import build_fine_q_tables
         p = params["params"]
@@ -1108,7 +1127,7 @@ class IntraDcRuntime(_RuntimeBase):
         for step in range(1, 4):
             so_far, idx_r, means_parts = self._update_scales_step(
                 self.params, params, so_far, y_q_r, tuple(means_parts),
-                step - 1)
+                self._step_dev[step - 1])
             y_q_r = _host_decode(idx_r)
         x_hat = self._synth_final(self.params, params, so_far, y_q_r,
                                   tuple(means_parts), qd)
