@@ -307,40 +307,52 @@ def bench_real_coding(module, params, H, W, n_iter=6, deadline_at=None):
     ref = jnp.roll(frame, 2, axis=2)
     dpb = {"ref_frame": ref, "ref_feature": None, "ref_mv_feature": None,
            "ref_y": None, "ref_mv_y": None}
-    # warm both executables + build steady-state dpb
+    # warm both executables + let the tunnel dispatch path reach steady
+    # state: fresh processes ramp over the first few dispatch-sync cycles
+    # (intra spread [1.18, 9.83] after a single warmup, r5 capture), so
+    # two warm frames precede the timed loop.
     comp = rt.compress(frame, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
     dec = rt.decompress(dpb, comp["bit_stream"], H, W, q_in_ckpt=True,
                         q_index=0, frame_idx=1)
-    enc_t = dec_t = 0.0
     cur = dec["dpb"]
+    comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0, frame_idx=2)
+    dec = rt.decompress(cur, comp["bit_stream"], H, W, q_in_ckpt=True,
+                        q_index=0, frame_idx=2)
+    cur = dec["dpb"]
+    enc_ts, dec_ts = [], []
     bits = 0
-    done = 0
     for i in range(n_iter):
         t0 = time.time()
         comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0,
-                           frame_idx=i + 2)
+                           frame_idx=i + 3)
         t1 = time.time()
         out = rt.decompress(cur, comp["bit_stream"], H, W, q_in_ckpt=True,
-                            q_index=0, frame_idx=i + 2)
+                            q_index=0, frame_idx=i + 3)
         t2 = time.time()
-        enc_t += t1 - t0
-        dec_t += t2 - t1
+        enc_ts.append(t1 - t0)
+        dec_ts.append(t2 - t1)
         bits += len(comp["bit_stream"]) * 8
         cur = out["dpb"]
-        done += 1
         # adaptive iteration count: per-frame enc+dec over the remote
         # tunnel is tens of seconds (host rANS readbacks between decode
         # stages) — report what was measured rather than overrun the
         # budget and report nothing (rounds 1-3 all lost this section)
-        if deadline_at is not None and done >= 1 \
+        if deadline_at is not None and len(enc_ts) >= 1 \
                 and time.time() + (t2 - t0) > deadline_at:
             break
-    enc_t /= done
-    dec_t /= done
+    done = len(enc_ts)
+    # MEDIAN per-frame times: tunnel-health excursions hit single frames
+    # with 5-10x stalls (r5 A/B: identical children measured 0.041-0.237
+    # encdec fps mean); the median is the honest steady-state number, the
+    # spread records the excursions.
+    enc_med = sorted(enc_ts)[done // 2]
+    dec_med = sorted(dec_ts)[done // 2]
     return {
-        "real_enc_fps": round(1.0 / enc_t, 3),
-        "real_dec_fps": round(1.0 / dec_t, 3),
-        "real_encdec_fps": round(1.0 / (enc_t + dec_t), 3),
+        "real_enc_fps": round(1.0 / enc_med, 3),
+        "real_dec_fps": round(1.0 / dec_med, 3),
+        "real_encdec_fps": round(1.0 / (enc_med + dec_med), 3),
+        "real_enc_spread_s": [round(min(enc_ts), 2), round(max(enc_ts), 2)],
+        "real_dec_spread_s": [round(min(dec_ts), 2), round(max(dec_ts), 2)],
         "real_bpp": round(bits / done / (H * W), 4),
         "real_n_iter": done,
         # measurement conditions — keeps BENCH artifacts comparable across

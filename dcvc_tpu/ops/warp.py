@@ -279,21 +279,21 @@ def default_me_warp_mode():
 
 def default_coding_warp_modes() -> tuple:
     """(od, mc, me) warp modes for the WRITE-STREAM runtimes on TPU
-    backends. The block kernel wins the pure-device forward (2.04 fps
-    headline) but measurably degrades the real-coding path on the
-    remote-tunnel platform — programs containing the Pallas custom call
-    make every compress/decompress roundtrip 3-4x slower (clean-host A/B,
-    out/r3_diag_pattern*.log: exact 5.5/7.9 s enc/dec, tile 6.5/7.7,
-    block 25/16) — so the coding path ships the RD-gated row-tile OD mode
-    with exact mc/me (the r2 default shape; tile at mc/me sites is a
-    measured loss, RDNOTES §4). env overrides win here too."""
+    backends: block at the OD site, exact mc/me — the same RD-gated shape
+    as the estimated-bits default since round 5. The round-3 finding that
+    Pallas-bearing programs slow tunnel roundtrips 3-4x (which made the
+    coding path ship the row-tile mode) no longer reproduces after the
+    round-5 dispatch-count reductions (decode 13 -> 9 programs, traced
+    step via lax.switch): back-to-back median-protocol children measure
+    block 1.06/1.38 enc/dec fps vs tile 0.64/0.78 (out/r5_real_ab2.log).
+    env overrides win here too."""
     env = [os.environ.get(v) for v in ("DCVC_TPU_OD_WARP",
                                        "DCVC_TPU_MC_WARP",
                                        "DCVC_TPU_ME_WARP")]
     if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         base = ("exact", None, None)
     else:
-        base = (RD_GATED_TILE_MODE, None, None)
+        base = (RD_GATED_BLOCK_MODE, None, None)
     return tuple(e if e else b for e, b in zip(env, base))
 
 
