@@ -674,12 +674,22 @@ class DmcRuntime(_RuntimeBase):
             # full-array f32 readback is the only reliably-fast host
             # transfer on remote-tunnel platforms (scalars, slices, int16
             # and multi-array reads all hit pathological paths). Symbols
-            # and bucket indexes are small integers — exact in f32.
+            # and bucket indexes are int16-range integers, so each
+            # (symbol, index) pair rides ONE f32's raw bits (low/high
+            # half-words, lax.bitcast) — halving the dominant readback
+            # (12.6 -> 6.6 MB at 1080p). Bit patterns that alias NaN/Inf
+            # f32s transfer exactly (probed across the full int16 x int16
+            # domain on the tunnel platform, round 5).
             segs = [out["mv_z_hat"].astype(jnp.float32).reshape(-1),
                     out["z_hat"].astype(jnp.float32).reshape(-1)]
-            segs += [jnp.clip(q.astype(jnp.float32), -30000, 30000).reshape(-1)
-                     for q in planes]
-            segs += [idx16(s).astype(jnp.float32).reshape(-1) for s in scales]
+            sym = jnp.concatenate(
+                [jnp.round(jnp.clip(q.astype(jnp.float32), -30000, 30000))
+                 .astype(jnp.int32).reshape(-1) for q in planes])
+            idx = jnp.concatenate(
+                [idx16(s).astype(jnp.int32).reshape(-1) for s in scales])
+            u = ((sym & 0xFFFF).astype(jnp.uint32)
+                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+            segs.append(jax.lax.bitcast_convert_type(u, jnp.float32))
             return {"dpb": out["dpb"], "packed": jnp.concatenate(segs)}
 
         self._compress_dev = jax.jit(compress_packed)
@@ -839,11 +849,11 @@ class DmcRuntime(_RuntimeBase):
         from .video_dc import G_CH
         n_mv_z, n_z = zh * zw * 64, zh * zw * G_CH["16x"]
         sizes = [yh * yw * (64 // 4)] * 4 + [yh * yw * (G_CH["16x"] // 4)] * 4
-        n_sym = sum(sizes)
         mv_z = packed[:n_mv_z].reshape(1, zh, zw, 64)
         z = packed[n_mv_z:n_mv_z + n_z].reshape(1, zh, zw, G_CH["16x"])
-        sym = packed[n_mv_z + n_z:n_mv_z + n_z + n_sym]
-        idx = packed[n_mv_z + n_z + n_sym:].astype(np.int16)
+        bits = np.ascontiguousarray(packed[n_mv_z + n_z:]).view(np.uint32)
+        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
+        idx = (bits >> 16).astype(np.uint16).view(np.int16)
         self.entropy_coder.reset()
         self._encode_z("bit_estimator_z_mv", mv_z)
         self._encode_z("bit_estimator_z", z)
