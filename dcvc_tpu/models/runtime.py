@@ -131,6 +131,34 @@ class EvcCodecRuntime(_RuntimeBase):
         self._synth = jax.jit(_synth)
         _g = GaussianConditionalCoder(distribution=self.y_distribution)
         self._indexes = jax.jit(_g.build_indexes)
+        # f32 view of the bucket indexes: int16 readbacks hit a
+        # pathological transfer path on remote platforms (round-1 model);
+        # small ints are exact in f32 and decode_stream re-casts.
+        self._indexes_f32 = jax.jit(
+            lambda s: _g.build_indexes(s).astype(jnp.float32))
+
+        def compress_packed(p, x, q):
+            """One f32 readback for the whole encode: [z | sym/idx pairs]
+            (same packing as DmcRuntime.compress_packed — each int16
+            symbol+index pair rides one f32's raw bits)."""
+            out = m.apply(p, x, q, method=mt.compress_device)
+            idxs = [_g.build_indexes(s) for s in out["scales_planes"]]
+            sym = jnp.concatenate(
+                [jnp.round(jnp.clip(yq.astype(jnp.float32), -30000, 30000))
+                 .astype(jnp.int32).reshape(-1) for yq in out["y_q_planes"]])
+            idx = jnp.concatenate([i.astype(jnp.int32).reshape(-1)
+                                   for i in idxs])
+            u = ((sym & 0xFFFF).astype(jnp.uint32)
+                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+            packed = jnp.concatenate(
+                [out["z_hat"].astype(jnp.float32).reshape(-1),
+                 jax.lax.bitcast_convert_type(u, jnp.float32)])
+            # y_q_planes are returned UN-transferred purely so the host
+            # can read their .shape metadata (no device->host copy)
+            return {"x_hat": out["x_hat"], "packed": packed,
+                    "plane_shapes": out["y_q_planes"]}
+
+        self._compress_pack = jax.jit(compress_packed)
 
     def _z_estimators(self):
         return [("bit_estimator_z", self.module.N)]
@@ -139,14 +167,25 @@ class EvcCodecRuntime(_RuntimeBase):
         return self._fwd(self.params, jnp.asarray(x), jnp.asarray(q_scale))
 
     def compress(self, x, q_scale):
-        out = self._compress_dev(self.params, jnp.asarray(x), jnp.asarray(q_scale))
-        idx0 = self._indexes(out["scales_planes"][0])
-        idx1 = self._indexes(out["scales_planes"][1])
+        x = jnp.asarray(x)
+        out = self._compress_pack(self.params, x, jnp.asarray(q_scale))
+        packed = np.asarray(out["packed"])
+        zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
+        n_z = zh * zw * self.module.N
+        sizes = [int(np.prod(p.shape)) for p in out["plane_shapes"]]
+        z_hat = packed[:n_z].reshape(1, zh, zw, self.module.N)
+        bits = np.ascontiguousarray(packed[n_z:]).view(np.uint32)
+        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
+        idx = (bits >> 16).astype(np.uint16).view(np.int16)
 
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z", out["z_hat"])
-        self._encode_y_plane(out["y_q_planes"][0], idx0)
-        self._encode_y_plane(out["y_q_planes"][1], idx1)
+        self._encode_z("bit_estimator_z", z_hat)
+        start = 0
+        for n in sizes:
+            self.gaussian.encode_with_indexes(
+                self.entropy_coder, sym[start:start + n],
+                idx[start:start + n])
+            start += n
         self.entropy_coder.flush()
         return {
             "bit_stream": self.entropy_coder.get_encoded_stream(),
@@ -162,14 +201,16 @@ class EvcCodecRuntime(_RuntimeBase):
         q_step, scales, means = self._prior(self.params, z_hat)
 
         scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
-        y_q_r0 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r0))
-                             .reshape(scales_r0.shape))
+        y_q_r0 = jnp.asarray(
+            self._decode_y_plane(self._indexes_f32(scales_r0))
+            .reshape(scales_r0.shape))
         h0, h1 = self._update0(y_q_r0, m0, m1)
 
         scales_r1, (m0, m1) = self._scales1(self.params, q_step, scales, means,
                                             h0, h1)
-        y_q_r1 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r1))
-                             .reshape(scales_r1.shape))
+        y_q_r1 = jnp.asarray(
+            self._decode_y_plane(self._indexes_f32(scales_r1))
+            .reshape(scales_r1.shape))
         d0, d1 = self._update1(y_q_r1, m0, m1)
 
         x_hat = self._synth(self.params, h0 + d0, h1 + d1, q_step, q_scale)
