@@ -1044,15 +1044,21 @@ class IntraDcRuntime(_RuntimeBase):
         self._fwd = jax.jit(lambda p, x, qe, qd: m.apply(p, x, qe, qd))
 
         def compress_packed(p, x, qe, qd):
+            # ONE f32 readback: [z | sym/idx pairs] — the previous three
+            # separate int16 transfers each rode the pathological
+            # transfer path (round-1 model); packing mirrors DmcRuntime.
             out = m.apply(p, x, qe, qd, method=mt.compress_device)
             sym = jnp.concatenate(
-                [jnp.clip(q.astype(jnp.float32), -30000, 30000)
-                 .astype(jnp.int16).reshape(-1) for q in out["y_q_planes"]])
-            idx = jnp.concatenate([idx16(s).reshape(-1)
+                [jnp.round(jnp.clip(q.astype(jnp.float32), -30000, 30000))
+                 .astype(jnp.int32).reshape(-1) for q in out["y_q_planes"]])
+            idx = jnp.concatenate([idx16(s).astype(jnp.int32).reshape(-1)
                                    for s in out["scales_planes"]])
-            return {"x_hat": out["x_hat"],
-                    "z_i16": out["z_hat"].astype(jnp.int16),
-                    "sym": sym, "idx": idx}
+            u = ((sym & 0xFFFF).astype(jnp.uint32)
+                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+            packed = jnp.concatenate(
+                [out["z_hat"].astype(jnp.float32).reshape(-1),
+                 jax.lax.bitcast_convert_type(u, jnp.float32)])
+            return {"x_hat": out["x_hat"], "packed": packed}
 
         self._compress_dev = jax.jit(compress_packed)
         self._prior = jax.jit(
@@ -1140,12 +1146,17 @@ class IntraDcRuntime(_RuntimeBase):
         qe, qd = self.get_q_for_inference(q_in_ckpt, q_index)
         x = jnp.asarray(x)
         out = self._compress_dev(self.params, x, qe, qd)
-        sym = np.asarray(out["sym"])
-        idx = np.asarray(out["idx"])
+        packed = np.asarray(out["packed"])
         yh, yw = x.shape[1] // 16, x.shape[2] // 16
+        zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
+        n_z = zh * zw * self.module.N
+        z_hat = packed[:n_z].reshape(1, zh, zw, self.module.N)
+        bits = np.ascontiguousarray(packed[n_z:]).view(np.uint32)
+        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
+        idx = (bits >> 16).astype(np.uint16).view(np.int16)
         n = yh * yw * (self.module.N // 4)
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z", out["z_i16"])
+        self._encode_z("bit_estimator_z", z_hat)
         for i in range(4):
             self.gaussian.encode_with_indexes(
                 self.entropy_coder, sym[i * n:(i + 1) * n],
