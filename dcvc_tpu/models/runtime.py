@@ -532,6 +532,31 @@ class TcmVideoRuntime(_RuntimeBase):
             lambda p, yh, ctx: m.apply(p, yh, ctx, method=mt.decode_recon_stage))
         _g = GaussianConditionalCoder(distribution=self.y_distribution)
         self._indexes = jax.jit(_g.build_indexes)
+        self._indexes_f32 = jax.jit(
+            lambda s: _g.build_indexes(s).astype(jnp.float32))
+
+        def compress_packed(p, x, rf, rfe):
+            # ONE f32 readback: [mv_z | z | sym/idx pairs] (DmcRuntime
+            # packing; was 6 separate transfers incl. int16 indexes)
+            out = m.apply(p, x, rf, rfe, method=mt.compress_device)
+            planes = [out["mv_y_q"], out["y_q"]]
+            scales = [out["mv_scales"], out["scales"]]
+            sym = jnp.concatenate(
+                [jnp.round(jnp.clip(q.astype(jnp.float32), -30000, 30000))
+                 .astype(jnp.int32).reshape(-1) for q in planes])
+            idx = jnp.concatenate(
+                [_g.build_indexes(s).astype(jnp.int32).reshape(-1)
+                 for s in scales])
+            u = ((sym & 0xFFFF).astype(jnp.uint32)
+                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+            packed = jnp.concatenate(
+                [out["mv_z_hat"].astype(jnp.float32).reshape(-1),
+                 out["z_hat"].astype(jnp.float32).reshape(-1),
+                 jax.lax.bitcast_convert_type(u, jnp.float32)])
+            return {"x_hat": out["x_hat"], "feature": out["feature"],
+                    "packed": packed, "plane_shapes": planes}
+
+        self._compress_pack = jax.jit(compress_packed)
 
     def _z_estimators(self):
         return [("bit_estimator_z", self.module.channel_N),
@@ -541,13 +566,26 @@ class TcmVideoRuntime(_RuntimeBase):
         return self._fwd(self.params, jnp.asarray(x), ref_frame, ref_feature)
 
     def compress(self, x, ref_frame, ref_feature):
-        out = self._compress_dev(self.params, jnp.asarray(x), ref_frame,
-                                 ref_feature)
+        x = jnp.asarray(x)
+        out = self._compress_pack(self.params, x, ref_frame, ref_feature)
+        packed = np.asarray(out["packed"])
+        zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
+        N = self.module.channel_N
+        n_z = zh * zw * N
+        sizes = [int(np.prod(p.shape)) for p in out["plane_shapes"]]
+        mv_z = packed[:n_z].reshape(1, zh, zw, N)
+        z = packed[n_z:2 * n_z].reshape(1, zh, zw, N)
+        bits = np.ascontiguousarray(packed[2 * n_z:]).view(np.uint32)
+        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
+        idx = (bits >> 16).astype(np.uint16).view(np.int16)
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
-        self._encode_y_plane(out["mv_y_q"], self._indexes(out["mv_scales"]))
-        self._encode_z("bit_estimator_z", out["z_hat"])
-        self._encode_y_plane(out["y_q"], self._indexes(out["scales"]))
+        # stream order: z_mv, mv_y, z, y (:321-341)
+        self._encode_z("bit_estimator_z_mv", mv_z)
+        self.gaussian.encode_with_indexes(
+            self.entropy_coder, sym[:sizes[0]], idx[:sizes[0]])
+        self._encode_z("bit_estimator_z", z)
+        self.gaussian.encode_with_indexes(
+            self.entropy_coder, sym[sizes[0]:], idx[sizes[0]:])
         self.entropy_coder.flush()
         return {"bit_stream": self.entropy_coder.get_encoded_stream(),
                 "x_hat": out["x_hat"], "feature": out["feature"]}
@@ -559,15 +597,16 @@ class TcmVideoRuntime(_RuntimeBase):
         mv_z_hat = jnp.asarray(self._decode_z("bit_estimator_z_mv",
                                               (1, zh, zw, N)))
         mv_scales, mv_means = self._mv_params(self.params, mv_z_hat)
-        mv_y_q = jnp.asarray(self._decode_y_plane(self._indexes(mv_scales))
-                             .reshape(mv_scales.shape))
+        mv_y_q = jnp.asarray(
+            self._decode_y_plane(self._indexes_f32(mv_scales))
+            .reshape(mv_scales.shape))
         mv_y_hat = mv_y_q + mv_means
 
         z_hat = jnp.asarray(self._decode_z("bit_estimator_z", (1, zh, zw, N)))
         scales, means, contexts = self._motion_stage(self.params, mv_y_hat,
                                                      ref_frame, ref_feature,
                                                      z_hat)
-        y_q = jnp.asarray(self._decode_y_plane(self._indexes(scales))
+        y_q = jnp.asarray(self._decode_y_plane(self._indexes_f32(scales))
                           .reshape(scales.shape))
         x_hat, feature = self._recon_stage(self.params, y_q + means, contexts)
         return {"x_hat": x_hat, "feature": feature}
@@ -620,6 +659,33 @@ class HemVideoRuntime(_RuntimeBase):
                                              method=mt.decode_recon_stage))
         _g = GaussianConditionalCoder(distribution=self.y_distribution)
         self._indexes = jax.jit(_g.build_indexes)
+        self._indexes_f32 = jax.jit(
+            lambda s: _g.build_indexes(s).astype(jnp.float32))
+
+        def compress_packed(p, x, dpb, mvq, yq):
+            # ONE f32 readback: [mv_z | z | sym/idx pairs] (DmcRuntime
+            # packing; the previous path made 10 separate transfers —
+            # 2 z planes + 4x(y_q, int16 idx) pairs — per frame)
+            out = m.apply(p, x, dpb, mvq, yq, method=mt.compress_device)
+            planes = (list(out["mv_y_q_planes"]) + list(out["y_q_planes"]))
+            scales = (list(out["mv_scales_planes"])
+                      + list(out["scales_planes"]))
+            sym = jnp.concatenate(
+                [jnp.round(jnp.clip(q.astype(jnp.float32), -30000, 30000))
+                 .astype(jnp.int32).reshape(-1) for q in planes])
+            idx = jnp.concatenate(
+                [_g.build_indexes(s).astype(jnp.int32).reshape(-1)
+                 for s in scales])
+            u = ((sym & 0xFFFF).astype(jnp.uint32)
+                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+            packed = jnp.concatenate(
+                [out["mv_z_hat"].astype(jnp.float32).reshape(-1),
+                 out["z_hat"].astype(jnp.float32).reshape(-1),
+                 jax.lax.bitcast_convert_type(u, jnp.float32)])
+            return {"dpb": out["dpb"], "packed": packed,
+                    "plane_shapes": planes}
+
+        self._compress_pack = jax.jit(compress_packed)
 
     def _z_estimators(self):
         return [("bit_estimator_z", self.module.channel_N),
@@ -633,27 +699,46 @@ class HemVideoRuntime(_RuntimeBase):
     def _dual_decode(self, qsm, scales1_fn):
         q_step, scales, means = qsm
         scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
-        y_q_r0 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r0))
-                             .reshape(scales_r0.shape))
+        y_q_r0 = jnp.asarray(
+            self._decode_y_plane(self._indexes_f32(scales_r0))
+            .reshape(scales_r0.shape))
         h0, h1 = self._update[0](y_q_r0, m0, m1)
         scales_r1, (m0, m1) = scales1_fn(self.params, q_step, scales, means,
                                          h0, h1)
-        y_q_r1 = jnp.asarray(self._decode_y_plane(self._indexes(scales_r1))
-                             .reshape(scales_r1.shape))
+        y_q_r1 = jnp.asarray(
+            self._decode_y_plane(self._indexes_f32(scales_r1))
+            .reshape(scales_r1.shape))
         d0, d1 = self._update[1](y_q_r1, m0, m1)
         return self._finalize(q_step, h0 + d0, h1 + d1)
 
     def compress(self, x, dpb, mv_y_q_scale, y_q_scale):
-        out = self._compress_dev(self.params, jnp.asarray(x), dpb,
-                                 jnp.asarray(mv_y_q_scale, jnp.float32),
-                                 jnp.asarray(y_q_scale, jnp.float32))
+        x = jnp.asarray(x)
+        out = self._compress_pack(self.params, x, dpb,
+                                  jnp.asarray(mv_y_q_scale, jnp.float32),
+                                  jnp.asarray(y_q_scale, jnp.float32))
+        packed = np.asarray(out["packed"])
+        zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
+        N = self.module.channel_N
+        n_z = zh * zw * N
+        sizes = [int(np.prod(p.shape)) for p in out["plane_shapes"]]
+        mv_z = packed[:n_z].reshape(1, zh, zw, N)
+        z = packed[n_z:2 * n_z].reshape(1, zh, zw, N)
+        bits = np.ascontiguousarray(packed[2 * n_z:]).view(np.uint32)
+        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
+        idx = (bits >> 16).astype(np.uint16).view(np.int16)
+        starts = np.concatenate([[0], np.cumsum(sizes)])
         self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z_mv", out["mv_z_hat"])
-        for y_q, s in zip(out["mv_y_q_planes"], out["mv_scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
-        self._encode_z("bit_estimator_z", out["z_hat"])
-        for y_q, s in zip(out["y_q_planes"], out["scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
+        # stream order: z_mv, mv w0, mv w1, z, y w0, y w1 (:306-313)
+        self._encode_z("bit_estimator_z_mv", mv_z)
+        for i in (0, 1):
+            self.gaussian.encode_with_indexes(
+                self.entropy_coder, sym[starts[i]:starts[i + 1]],
+                idx[starts[i]:starts[i + 1]])
+        self._encode_z("bit_estimator_z", z)
+        for i in (2, 3):
+            self.gaussian.encode_with_indexes(
+                self.entropy_coder, sym[starts[i]:starts[i + 1]],
+                idx[starts[i]:starts[i + 1]])
         self.entropy_coder.flush()
         return {"dpb": out["dpb"],
                 "bit_stream": self.entropy_coder.get_encoded_stream()}
