@@ -6,7 +6,7 @@
 set -u
 CK=${GATE_CKPT:-out/warp_proxy_r4/proxy.npz}
 LOG=${GATE_LOG:-out/r5_gate.log}
-ARMS="allblock:4,4,64,128,median4+block:4,4,64,128,median4+alltile:32,2,median"
+ARMS=${GATE_ARMS:-allblock:4,4,64,128,median4+block:4,4,64,128,median4+alltile:32,2,median}
 Q=${GATE_Q:-0.6,1.0,1.6}
 
 echo "=== r5 gate start $(date -u +%H:%M:%S) ckpt=$CK ===" >> "$LOG"
