@@ -256,9 +256,12 @@ def test_default_od_warp_mode_resolver(monkeypatch):
     assert RD_GATED_BLOCK_MODE.startswith("block:")
     monkeypatch.delenv("DCVC_TPU_OD_WARP", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    # round-5 policy (RDNOTES §6): block at the OD site only; the mc/me
+    # sites default to exact (the converged-proxy gate failed them) and
+    # the block mode is opt-in via env/flags.
     assert default_od_warp_mode() == RD_GATED_BLOCK_MODE
-    assert default_mc_warp_mode() == RD_GATED_BLOCK_MODE
-    assert default_me_warp_mode() == RD_GATED_BLOCK_MODE
-    monkeypatch.setenv("DCVC_TPU_MC_WARP", "exact")
     assert default_mc_warp_mode() == "exact"
-    assert default_me_warp_mode() == RD_GATED_BLOCK_MODE
+    assert default_me_warp_mode() == "exact"
+    monkeypatch.setenv("DCVC_TPU_MC_WARP", RD_GATED_BLOCK_MODE)
+    assert default_mc_warp_mode() == RD_GATED_BLOCK_MODE
+    assert default_me_warp_mode() == "exact"
