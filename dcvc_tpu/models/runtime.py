@@ -138,25 +138,21 @@ class EvcCodecRuntime(_RuntimeBase):
             lambda s: _g.build_indexes(s).astype(jnp.float32))
 
         def compress_packed(p, x, q):
-            """One f32 readback for the whole encode: [z | sym/idx pairs]
-            (same packing as DmcRuntime.compress_packed — each int16
-            symbol+index pair rides one f32's raw bits)."""
+            """One f32 readback for the whole encode: [z | symbol planes]
+            (each int16 symbol pair-packs with its plane id's slot; the
+            coding INDEXES are deliberately NOT computed here — see
+            compress())."""
             out = m.apply(p, x, q, method=mt.compress_device)
-            idxs = [_g.build_indexes(s) for s in out["scales_planes"]]
             sym = jnp.concatenate(
                 [jnp.round(jnp.clip(yq.astype(jnp.float32), -30000, 30000))
-                 .astype(jnp.int32).reshape(-1) for yq in out["y_q_planes"]])
-            idx = jnp.concatenate([i.astype(jnp.int32).reshape(-1)
-                                   for i in idxs])
-            u = ((sym & 0xFFFF).astype(jnp.uint32)
-                 | ((idx & 0xFFFF).astype(jnp.uint32) << 16))
+                 .astype(jnp.float32).reshape(-1)
+                 for yq in out["y_q_planes"]])
             packed = jnp.concatenate(
-                [out["z_hat"].astype(jnp.float32).reshape(-1),
-                 jax.lax.bitcast_convert_type(u, jnp.float32)])
+                [out["z_hat"].astype(jnp.float32).reshape(-1), sym])
             # y_q_planes are returned UN-transferred purely so the host
             # can read their .shape metadata (no device->host copy)
-            return {"x_hat": out["x_hat"], "packed": packed,
-                    "plane_shapes": out["y_q_planes"]}
+            return {"x_hat": out["x_hat"], "z_hat": out["z_hat"],
+                    "packed": packed, "plane_shapes": out["y_q_planes"]}
 
         self._compress_pack = jax.jit(compress_packed)
 
@@ -167,30 +163,52 @@ class EvcCodecRuntime(_RuntimeBase):
         return self._fwd(self.params, jnp.asarray(x), jnp.asarray(q_scale))
 
     def compress(self, x, q_scale):
+        """Encode path. The coding INDEXES are recomputed with the SAME
+        jitted stage executables the decoder runs (same input avals: z and
+        plane-0 symbols re-uploaded as f32, exactly as decompress receives
+        them from host rANS). bf16 conv outputs are not bitwise-
+        reproducible across differently-fused XLA programs, so indexes
+        derived inside the monolithic compress program can disagree with
+        the decoder's at scale-bucket boundaries -> rANS desync (measured
+        at 1080p bf16 before this fix: 6447/783k plane-1 index mismatches,
+        3.7M corrupted recon values). Sharing the executables makes
+        encoder and decoder buckets equal by construction."""
         x = jnp.asarray(x)
         out = self._compress_pack(self.params, x, jnp.asarray(q_scale))
         packed = np.asarray(out["packed"])
         zh, zw = get_downsampled_shape(x.shape[1], x.shape[2], 64)
         n_z = zh * zw * self.module.N
         sizes = [int(np.prod(p.shape)) for p in out["plane_shapes"]]
-        z_hat = packed[:n_z].reshape(1, zh, zw, self.module.N)
-        bits = np.ascontiguousarray(packed[n_z:]).view(np.uint32)
-        sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
-        idx = (bits >> 16).astype(np.uint16).view(np.int16)
+        shapes = [tuple(p.shape) for p in out["plane_shapes"]]
+        z_np = packed[:n_z].reshape(1, zh, zw, self.module.N)
+        sym = packed[n_z:]
 
-        self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z", z_hat)
-        start = 0
-        for n in sizes:
-            self.gaussian.encode_with_indexes(
-                self.entropy_coder, sym[start:start + n],
-                idx[start:start + n])
-            start += n
-        self.entropy_coder.flush()
         return {
-            "bit_stream": self.entropy_coder.get_encoded_stream(),
+            "bit_stream": self._encode_decoder_aligned(z_np, sym, sizes,
+                                                       shapes),
             "x_hat": out["x_hat"],
         }
+
+    def _encode_decoder_aligned(self, z_np, sym, sizes, shapes) -> bytes:
+        """Write the stream with indexes from the decoder's own
+        executables (see compress() docstring): z and plane-0 symbols are
+        re-uploaded exactly as decompress receives them from host rANS."""
+        z_hat = jnp.asarray(z_np)
+        q_step, scales, means = self._prior(self.params, z_hat)
+        scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
+        idx0 = np.asarray(self._indexes_f32(scales_r0))
+        y_q_r0 = jnp.asarray(sym[:sizes[0]].reshape(shapes[0]))
+        h0, h1 = self._update0(y_q_r0, m0, m1)
+        scales_r1, _ = self._scales1(self.params, q_step, scales, means,
+                                     h0, h1)
+        idx1 = np.asarray(self._indexes_f32(scales_r1))
+
+        self.entropy_coder.reset()
+        self._encode_z("bit_estimator_z", z_np)
+        for s, i in ((sym[:sizes[0]], idx0), (sym[sizes[0]:], idx1)):
+            self.gaussian.encode_with_indexes(self.entropy_coder, s, i)
+        self.entropy_coder.flush()
+        return self.entropy_coder.get_encoded_stream()
 
     def decompress(self, bit_stream, height, width, q_scale):
         q_scale = jnp.asarray(q_scale)
@@ -1101,12 +1119,18 @@ class ScalableEvcRuntime(EvcCodecRuntime):
         cid = choose_encoder_id(out["mse"], out["bpp"], self.rate_idx)
         dev = self._compress_dev(self.params, jnp.asarray(x),
                                  jnp.asarray(q_scale), cid)
-        self.entropy_coder.reset()
-        self._encode_z("bit_estimator_z", dev["z_hat"])
-        for y_q, s in zip(dev["y_q_planes"], dev["scales_planes"]):
-            self._encode_y_plane(y_q, self._indexes(s))
-        self.entropy_coder.flush()
-        return {"bit_stream": self.entropy_coder.get_encoded_stream(),
+        # decoder-aligned indexes (see EvcCodecRuntime.compress): the
+        # decoder is encoder-agnostic, so its index computation must be
+        # reproduced exactly regardless of the chosen encoder
+        z_np = np.asarray(dev["z_hat"], np.float32)
+        shapes = [tuple(p.shape) for p in dev["y_q_planes"]]
+        sizes = [int(np.prod(s)) for s in shapes]
+        from ..entropy.coder import _np_i16_symbols
+        sym = np.concatenate(
+            [_np_i16_symbols(np.asarray(p)).astype(np.float32)
+             for p in dev["y_q_planes"]])
+        return {"bit_stream": self._encode_decoder_aligned(z_np, sym,
+                                                           sizes, shapes),
                 "x_hat": dev["x_hat"], "enc_id": cid}
 
 
