@@ -311,14 +311,22 @@ def bench_real_coding(module, params, H, W, n_iter=6, deadline_at=None):
     # state: fresh processes ramp over the first few dispatch-sync cycles
     # (intra spread [1.18, 9.83] after a single warmup, r5 capture), so
     # two warm frames precede the timed loop.
+    t_w0 = time.time()
     comp = rt.compress(frame, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
     dec = rt.decompress(dpb, comp["bit_stream"], H, W, q_in_ckpt=True,
                         q_index=0, frame_idx=1)
     cur = dec["dpb"]
-    comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0, frame_idx=2)
-    dec = rt.decompress(cur, comp["bit_stream"], H, W, q_in_ckpt=True,
-                        q_index=0, frame_idx=2)
-    cur = dec["dpb"]
+    # second warm frame only if the budget can afford it: under tunnel
+    # degradation the compile+first-frame warmup alone can eat the child
+    # budget (bench4: "hit 1315s during warmup"), and a ramp-contaminated
+    # median beats an empty stub
+    if deadline_at is None or (time.time() - t_w0) < 0.25 * max(
+            deadline_at - t_w0, 1.0):
+        comp = rt.compress(frame, cur, q_in_ckpt=True, q_index=0,
+                           frame_idx=2)
+        dec = rt.decompress(cur, comp["bit_stream"], H, W, q_in_ckpt=True,
+                            q_index=0, frame_idx=2)
+        cur = dec["dpb"]
     enc_ts, dec_ts = [], []
     bits = 0
     for i in range(n_iter):
