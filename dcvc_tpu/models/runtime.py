@@ -9,6 +9,8 @@ host boundary; the serial rANS loop runs in native code between jitted steps.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -957,6 +959,11 @@ class DmcRuntime(_RuntimeBase):
         self._fi_dev = [jnp.asarray(i, jnp.int32) for i in range(4)]
         self._step_dev = [jnp.asarray(i, jnp.int32) for i in range(3)]
         self._qs_cache: dict = {}
+        # decoder-aligned coding indexes (see _aligned_indexes): opt-in —
+        # DMC measured desync-free with the monolithic encode at 1080p
+        # bf16 (check_tpu_roundtrip), so the ~8 extra per-frame dispatches
+        # stay off by default; the conformance tool guards the property.
+        self.aligned_enc = os.environ.get("DCVC_TPU_ALIGNED_ENC") == "1"
 
     def _z_estimators(self):
         from .video_dc import G_CH
@@ -998,6 +1005,9 @@ class DmcRuntime(_RuntimeBase):
         bits = np.ascontiguousarray(packed[n_mv_z + n_z:]).view(np.uint32)
         sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
         idx = (bits >> 16).astype(np.uint16).view(np.int16)
+        if self.aligned_enc:
+            idx = self._aligned_indexes(mv_z, z, sym, dpb, qs,
+                                        frame_idx, yh, yw).astype(np.int16)
         self.entropy_coder.reset()
         self._encode_z("bit_estimator_z_mv", mv_z)
         self._encode_z("bit_estimator_z", z)
@@ -1026,12 +1036,17 @@ class DmcRuntime(_RuntimeBase):
         return self._update_step(params, so_far, y_q_r, means_parts, 3)
 
     def _decode_four_part_partial(self, params, channels: int, which: str,
-                                  first):
+                                  first, sym_source=None):
         """Symbol decode for steps 0-3 WITHOUT the final scatter: returns
         (so_far through step 2, step-3 symbols, step-3 means) so the final
         scatter fuses into the next stage's executable. ``first`` is the
         (idx, means) pair for step 0 when a fused upstream program already
-        produced it; None computes it here."""
+        produced it; None computes it here. ``sym_source(idx_r)`` supplies
+        each step's symbol plane — host rANS decode by default; the
+        aligned ENCODE path (see compress) feeds known symbols while
+        recording the decoder-identical indexes."""
+        if sym_source is None:
+            sym_source = self._host_decode
         B, yh, yw = params.shape[0], params.shape[1], params.shape[2]
         so_far = jnp.zeros((B, yh, yw, channels), params.dtype)
         if first is None:
@@ -1039,13 +1054,54 @@ class DmcRuntime(_RuntimeBase):
                                                    so_far, 0, which)
         else:
             idx_r, means_parts = first
-        y_q_r = self._host_decode(idx_r)
+        y_q_r = sym_source(idx_r)
         for step in range(1, 4):
             so_far, idx_r, means_parts = self._update_scales_step(
                 self.params, params, so_far, y_q_r, tuple(means_parts),
                 self._step_dev[step - 1], which)
-            y_q_r = self._host_decode(idx_r)
+            y_q_r = sym_source(idx_r)
         return so_far, y_q_r, tuple(means_parts)
+
+    def _aligned_indexes(self, mv_z_np, z_np, sym, dpb, qs,
+                         frame_idx, yh, yw):
+        """Decoder-identical coding indexes for all 8 four-part planes:
+        replays the decompress() executables with the KNOWN symbols in
+        place of host rANS (same avals — z planes and symbols enter as
+        f32 host uploads exactly as the decoder receives them). bf16 conv
+        outputs are not bitwise-reproducible across differently-fused XLA
+        programs, so indexes computed inside the monolithic compress
+        program are not GUARANTEED to match the decoder's (measured
+        in-spec for DMC at 1080p bf16 — zero desync-class values,
+        tools/check_tpu_roundtrip.py — but guaranteed only by this path).
+        Opt in with DCVC_TPU_ALIGNED_ENC=1; costs the decode-side stage
+        chain (~8 extra dispatches) per frame."""
+        recorded = []
+        offset = [0]
+
+        def sym_source(idx_r):
+            recorded.append(np.asarray(idx_r))
+            n = recorded[-1].size
+            plane = sym[offset[0]:offset[0] + n]
+            offset[0] += n
+            # f32 upload: the decoder's symbols arrive as f32 host arrays;
+            # identical avals keep the executables identical
+            return jnp.asarray(plane.reshape(recorded[-1].shape)
+                               .astype(np.float32))
+
+        mv_z_hat = jnp.asarray(mv_z_np)
+        z_hat = jnp.asarray(z_np)
+        mv_params, idx0, means0 = self._mv_prior_scales0(
+            self.params, mv_z_hat, dpb["ref_mv_y"], yh, yw)
+        mv_sofar, mv_yq3, mv_mp3 = self._decode_four_part_partial(
+            mv_params, 64, "mv", (idx0, means0), sym_source)
+        from .video_dc import G_CH
+        (y_params, contexts, mv_y_hat, mv_feature, yidx0,
+         ymeans0) = self._motion_scales0(
+            self.params, mv_params, mv_sofar, mv_yq3, mv_mp3,
+            qs["mv_dec"], dpb, z_hat, self._fi_dev[frame_idx % 4], yh, yw)
+        self._decode_four_part_partial(y_params, G_CH["16x"], "y",
+                                       (yidx0, ymeans0), sym_source)
+        return np.concatenate([r.reshape(-1) for r in recorded])
 
     def decompress(self, dpb, string, height, width, q_in_ckpt: bool,
                    q_index: int, frame_idx: int):

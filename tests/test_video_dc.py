@@ -91,3 +91,27 @@ def test_roundtrip_with_tile_warp_mode():
         np.testing.assert_allclose(np.asarray(comp["dpb"][key]),
                                    np.asarray(dec["dpb"][key]),
                                    atol=1e-5, err_msg=key)
+
+
+def test_aligned_enc_stream_identity(dmc):
+    """DCVC_TPU_ALIGNED_ENC replays the DECODER'S executables on the
+    encode side to derive coding indexes (bf16 fusion-divergence guard,
+    runtime.py:_aligned_indexes). On f32 the two index paths are
+    deterministic and must produce BYTE-IDENTICAL streams; the aligned
+    stream must also still decode to the encoder recon."""
+    module, params, rt = dmc
+    ref = _frame(seed=6)
+    x = _frame(seed=6, shift=1)
+    dpb = _initial_dpb(ref)
+    comp = rt.compress(x, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
+    rt.aligned_enc = True
+    try:
+        comp2 = rt.compress(x, dpb, q_in_ckpt=True, q_index=0, frame_idx=1)
+        assert comp["bit_stream"] == comp2["bit_stream"]
+        dec = rt.decompress(dpb, comp2["bit_stream"], 64, 64,
+                            q_in_ckpt=True, q_index=0, frame_idx=1)
+        np.testing.assert_allclose(np.asarray(comp2["dpb"]["ref_frame"]),
+                                   np.asarray(dec["dpb"]["ref_frame"]),
+                                   atol=1e-5)
+    finally:
+        rt.aligned_enc = False
