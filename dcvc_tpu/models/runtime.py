@@ -577,6 +577,11 @@ class TcmVideoRuntime(_RuntimeBase):
                     "packed": packed, "plane_shapes": planes}
 
         self._compress_pack = jax.jit(compress_packed)
+        # decoder-aligned coding indexes (DmcRuntime counterpart): opt-in
+        # bf16 fusion-divergence guard — replays the DECODE executables
+        # with the known symbols so encoder and decoder scale buckets are
+        # equal by construction (costs ~3 extra dispatches per frame)
+        self.aligned_enc = os.environ.get("DCVC_TPU_ALIGNED_ENC") == "1"
 
     def _z_estimators(self):
         return [("bit_estimator_z", self.module.channel_N),
@@ -584,6 +589,25 @@ class TcmVideoRuntime(_RuntimeBase):
 
     def forward_one_frame(self, x, ref_frame, ref_feature):
         return self._fwd(self.params, jnp.asarray(x), ref_frame, ref_feature)
+
+    def _aligned_indexes(self, mv_z_np, z_np, sym, shapes, ref_frame,
+                         ref_feature):
+        """Decoder-identical coding indexes for the mv_y and y planes:
+        replays decompress()'s executables with the KNOWN symbols in place
+        of host rANS (same avals: z planes and symbols enter as f32 host
+        uploads exactly as the decoder receives them). See
+        DmcRuntime._aligned_indexes for the bf16 rationale."""
+        mv_z_hat = jnp.asarray(mv_z_np)
+        mv_scales, mv_means = self._mv_params(self.params, mv_z_hat)
+        idx_mv = np.asarray(self._indexes_f32(mv_scales))
+        n_mv = int(np.prod(shapes[0]))
+        mv_y_q = jnp.asarray(sym[:n_mv].astype(np.float32)
+                             .reshape(shapes[0]))
+        mv_y_hat = mv_y_q + mv_means
+        scales, _, _ = self._motion_stage(self.params, mv_y_hat, ref_frame,
+                                          ref_feature, jnp.asarray(z_np))
+        idx_y = np.asarray(self._indexes_f32(scales))
+        return np.concatenate([idx_mv.reshape(-1), idx_y.reshape(-1)])
 
     def compress(self, x, ref_frame, ref_feature):
         x = jnp.asarray(x)
@@ -598,6 +622,10 @@ class TcmVideoRuntime(_RuntimeBase):
         bits = np.ascontiguousarray(packed[2 * n_z:]).view(np.uint32)
         sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
         idx = (bits >> 16).astype(np.uint16).view(np.int16)
+        if self.aligned_enc:
+            shapes = [tuple(p.shape) for p in out["plane_shapes"]]
+            idx = self._aligned_indexes(mv_z, z, sym, shapes, ref_frame,
+                                        ref_feature).astype(np.int16)
         self.entropy_coder.reset()
         # stream order: z_mv, mv_y, z, y (:321-341)
         self._encode_z("bit_estimator_z_mv", mv_z)
@@ -706,6 +734,9 @@ class HemVideoRuntime(_RuntimeBase):
                     "plane_shapes": planes}
 
         self._compress_pack = jax.jit(compress_packed)
+        # decoder-aligned coding indexes (DmcRuntime counterpart): opt-in
+        # bf16 fusion-divergence guard (~6 extra dispatches per frame)
+        self.aligned_enc = os.environ.get("DCVC_TPU_ALIGNED_ENC") == "1"
 
     def _z_estimators(self):
         return [("bit_estimator_z", self.module.channel_N),
@@ -716,20 +747,48 @@ class HemVideoRuntime(_RuntimeBase):
                          jnp.asarray(mv_y_q_scale, jnp.float32),
                          jnp.asarray(y_q_scale, jnp.float32))
 
-    def _dual_decode(self, qsm, scales1_fn):
+    def _dual_decode(self, qsm, scales1_fn, sym_source=None):
+        """``sym_source(idx_r)`` supplies each checkerboard part's symbol
+        plane — host rANS decode by default; the aligned ENCODE path
+        feeds known symbols while recording the decoder-identical
+        indexes (see _aligned_indexes)."""
+        if sym_source is None:
+            sym_source = lambda idx_r: jnp.asarray(  # noqa: E731
+                self._decode_y_plane(idx_r).reshape(idx_r.shape))
         q_step, scales, means = qsm
         scales_r0, (m0, m1) = self._scales0(q_step, scales, means)
-        y_q_r0 = jnp.asarray(
-            self._decode_y_plane(self._indexes_f32(scales_r0))
-            .reshape(scales_r0.shape))
+        y_q_r0 = sym_source(self._indexes_f32(scales_r0))
         h0, h1 = self._update[0](y_q_r0, m0, m1)
         scales_r1, (m0, m1) = scales1_fn(self.params, q_step, scales, means,
                                          h0, h1)
-        y_q_r1 = jnp.asarray(
-            self._decode_y_plane(self._indexes_f32(scales_r1))
-            .reshape(scales_r1.shape))
+        y_q_r1 = sym_source(self._indexes_f32(scales_r1))
         d0, d1 = self._update[1](y_q_r1, m0, m1)
         return self._finalize(q_step, h0 + d0, h1 + d1)
+
+    def _aligned_indexes(self, mv_z_np, z_np, sym, dpb, mv_q, yh, yw):
+        """Decoder-identical coding indexes for the 4 checkerboard parts
+        (mv w0, mv w1, y w0, y w1 — the stream's plane order): replays
+        decompress()'s executables with the KNOWN symbols in place of
+        host rANS. See DmcRuntime._aligned_indexes for the bf16
+        rationale."""
+        recorded = []
+        offset = [0]
+
+        def sym_source(idx_r):
+            idx_np = np.asarray(idx_r)
+            recorded.append(idx_np)
+            plane = sym[offset[0]:offset[0] + idx_np.size]
+            offset[0] += idx_np.size
+            return jnp.asarray(plane.astype(np.float32)
+                               .reshape(idx_np.shape))
+
+        mv_qsm = self._mv_prior(self.params, jnp.asarray(mv_z_np),
+                                dpb["ref_mv_y"], yh, yw)
+        mv_y_hat = self._dual_decode(mv_qsm, self._mv_scales1, sym_source)
+        y_qsm, _, _ = self._motion_stage(self.params, mv_y_hat, mv_q, dpb,
+                                         jnp.asarray(z_np), yh, yw)
+        self._dual_decode(y_qsm, self._y_scales1, sym_source)
+        return np.concatenate([r.reshape(-1) for r in recorded])
 
     def compress(self, x, dpb, mv_y_q_scale, y_q_scale):
         x = jnp.asarray(x)
@@ -746,6 +805,10 @@ class HemVideoRuntime(_RuntimeBase):
         bits = np.ascontiguousarray(packed[2 * n_z:]).view(np.uint32)
         sym = (bits & 0xFFFF).astype(np.uint16).view(np.int16)
         idx = (bits >> 16).astype(np.uint16).view(np.int16)
+        if self.aligned_enc:
+            idx = self._aligned_indexes(
+                mv_z, z, sym, dpb, jnp.asarray(mv_y_q_scale, jnp.float32),
+                zh * 4, zw * 4).astype(np.int16)
         starts = np.concatenate([[0], np.cumsum(sizes)])
         self.entropy_coder.reset()
         # stream order: z_mv, mv w0, mv w1, z, y w0, y w1 (:306-313)

@@ -80,3 +80,27 @@ def test_hem_video_roundtrip(hem_video):
         np.testing.assert_allclose(np.asarray(comp["dpb"][key]),
                                    np.asarray(dec["dpb"][key]),
                                    atol=1e-5, err_msg=key)
+
+
+def test_hem_aligned_enc_stream_identity(hem_video):
+    """DCVC_TPU_ALIGNED_ENC replays the DECODER'S executables on the
+    encode side (bf16 fusion-divergence guard — see
+    HemVideoRuntime._aligned_indexes). On f32 both index paths are
+    deterministic and must produce BYTE-IDENTICAL streams; the aligned
+    stream must also still decode to the encoder-side DPB."""
+    rt = hem_video
+    ref = _img(seed=6)
+    x = _img(seed=6, shift=1)
+    dpb = {"ref_frame": ref, "ref_feature": None, "ref_y": None,
+           "ref_mv_y": None}
+    comp = rt.compress(x, dpb, 0.9, 0.8)
+    rt.aligned_enc = True
+    try:
+        comp2 = rt.compress(x, dpb, 0.9, 0.8)
+        assert comp["bit_stream"] == comp2["bit_stream"]
+        dec = rt.decompress(dpb, comp2["bit_stream"], 64, 64, 0.9, 0.8)
+        np.testing.assert_allclose(np.asarray(comp2["dpb"]["ref_frame"]),
+                                   np.asarray(dec["dpb"]["ref_frame"]),
+                                   atol=1e-5)
+    finally:
+        rt.aligned_enc = False

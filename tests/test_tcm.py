@@ -45,3 +45,24 @@ def test_tcm_roundtrip(tcm):
                                np.asarray(dec["x_hat"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(comp["feature"]),
                                np.asarray(dec["feature"]), atol=1e-5)
+
+
+def test_tcm_aligned_enc_stream_identity(tcm):
+    """DCVC_TPU_ALIGNED_ENC replays the DECODER'S executables on the
+    encode side (bf16 fusion-divergence guard — see
+    TcmVideoRuntime._aligned_indexes). On f32 both index paths are
+    deterministic and must produce BYTE-IDENTICAL streams; the aligned
+    stream must also still decode to the encoder recon."""
+    rt = tcm
+    ref = _img(seed=7)
+    x = _img(seed=7, shift=1)
+    comp = rt.compress(x, ref, None)
+    rt.aligned_enc = True
+    try:
+        comp2 = rt.compress(x, ref, None)
+        assert comp["bit_stream"] == comp2["bit_stream"]
+        dec = rt.decompress(ref, None, comp2["bit_stream"], 64, 64)
+        np.testing.assert_allclose(np.asarray(comp2["x_hat"]),
+                                   np.asarray(dec["x_hat"]), atol=1e-5)
+    finally:
+        rt.aligned_enc = False

@@ -115,6 +115,54 @@ def check_intra_dc(H, W):
     return _report("intra_dc", [(comp["x_hat"], dec["x_hat"])])
 
 
+def _coding_mc_mode():
+    from dcvc_tpu.ops.warp import default_coding_warp_modes
+
+    _, mc, _ = default_coding_warp_modes()
+    return None if mc in (None, "exact") else mc
+
+
+def check_hem(H, W):
+    from dcvc_tpu.models.runtime import HemVideoRuntime
+    from dcvc_tpu.models.video_hem import DMCHem
+
+    module = DMCHem(dtype=jnp.bfloat16, mc_warp_mode=_coding_mc_mode())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    dpb0 = {"ref_frame": x0, "ref_feature": None, "ref_y": None,
+            "ref_mv_y": None}
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), x0, dpb0,
+                                  jnp.ones(()), jnp.ones(()))
+    rt = HemVideoRuntime(module, params)
+    rt.update(force=True)
+    frame = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 3),
+                               jnp.float32)
+    dpb = {"ref_frame": jnp.roll(frame, 2, axis=2), "ref_feature": None,
+           "ref_y": None, "ref_mv_y": None}
+    comp = rt.compress(frame, dpb, 0.9, 0.8)
+    dec = rt.decompress(dpb, comp["bit_stream"], H, W, 0.9, 0.8)
+    return _report(
+        "dmc_hem", [(comp["dpb"]["ref_frame"], dec["dpb"]["ref_frame"]),
+                    (comp["dpb"]["ref_y"], dec["dpb"]["ref_y"])])
+
+
+def check_tcm(H, W):
+    from dcvc_tpu.models.runtime import TcmVideoRuntime
+    from dcvc_tpu.models.video_tcm import DMCTcm
+
+    module = DMCTcm(dtype=jnp.bfloat16, mc_warp_mode=_coding_mc_mode())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), x0, x0, None)
+    rt = TcmVideoRuntime(module, params)
+    rt.update(force=True)
+    frame = jax.random.uniform(jax.random.PRNGKey(4), (1, H, W, 3),
+                               jnp.float32)
+    ref = jnp.roll(frame, 2, axis=2)
+    comp = rt.compress(frame, ref, None)
+    dec = rt.decompress(ref, None, comp["bit_stream"], H, W)
+    return _report("dmc_tcm", [(comp["x_hat"], dec["x_hat"]),
+                               (comp["feature"], dec["feature"])])
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1088)
@@ -130,6 +178,10 @@ def main():
         ok &= check_dmc(args.height, args.width)
     if "intra" in args.codecs:
         ok &= check_intra_dc(args.height, args.width)
+    if "hem" in args.codecs:
+        ok &= check_hem(args.height, args.width)
+    if "tcm" in args.codecs:
+        ok &= check_tcm(args.height, args.width)
     sys.exit(0 if ok else 1)
 
 
