@@ -108,6 +108,42 @@ def test_video_cli_worker_pool(tmp_path):
         assert res[s]["rate_0"]["ave_all_frame_bpp"] > 0, res[s]
 
 
+def test_video_cli_aligned_enc_write_stream(tmp_path):
+    """--aligned_enc 1 drives the decoder-aligned P-frame encode through
+    the CLI (runtime.py _aligned_indexes); on CPU/f32 the stream must
+    decode with matching metrics, proving the flag wiring end-to-end."""
+    seq = tmp_path / "seqs" / "s1"
+    seq.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    base = (np.kron(rng.random((8, 12, 3)), np.ones((8, 8, 1))) * 255)
+    for i in (1, 2):
+        Image.fromarray(np.roll(base, i, axis=1).astype(np.uint8)).save(
+            seq / f"im{i:05d}.png")
+    cfg = {"root_path": str(tmp_path / "seqs"),
+           "test_classes": {"t": {"test": 1, "base_path": "",
+                                  "src_type": "png",
+                                  "sequences": {"s1": {"width": 96,
+                                                       "height": 64,
+                                                       "frames": 2,
+                                                       "gop": 32}}}}}
+    cfg_path = tmp_path / "cfg.json"
+    json.dump(cfg, open(cfg_path, "w"))
+    out = tmp_path / "res.json"
+    r = _run(["tools/test_video.py", "--test_config", str(cfg_path),
+              "--i_frame_model", "intra_hem", "--p_frame_model", "dmc_hem",
+              "--rate_num", "1", "--q_indexes", "0",
+              "--force_frame_num", "2", "--write_stream", "1",
+              "--aligned_enc", "1",
+              "--stream_path", str(tmp_path / "streams"),
+              "--output_path", str(out)], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    summary = res["s1"]["rate_0"]
+    assert summary["frame_num"] == 2
+    assert summary["ave_all_frame_bpp"] > 0
+    assert np.isfinite(summary["ave_all_frame_psnr"])
+
+
 def test_video_cli_rejects_mixed_padding(tmp_path):
     cfg = {"root_path": str(tmp_path), "test_classes": {}}
     cfg_path = tmp_path / "cfg.json"

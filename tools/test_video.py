@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--ec_thread", type=int, default=0)
     p.add_argument("--stream_part_i", type=int, default=1)
     p.add_argument("--stream_part_p", type=int, default=1)
+    p.add_argument("--aligned_enc", type=int, default=None,
+                   help="1: derive P-frame coding indexes from the "
+                        "DECODER'S own executables (bf16 fusion-"
+                        "divergence guard; dmc_dc/dmc_hem/dmc_tcm — EVC-"
+                        "family I-codecs are always aligned). Defaults "
+                        "to the DCVC_TPU_ALIGNED_ENC env setting")
     p.add_argument("--output_path", type=str, default="out/results.json")
     p.add_argument("--verbose", type=int, default=1)
     p.add_argument("--worker_num", type=int, default=1,
@@ -137,6 +143,8 @@ def _build_runtimes(args):
             p_rt.params = load_params(args.model_path_p, p_rt.params,
                                        model=args.p_frame_model)
         p_rt.ec_thread, p_rt.stream_part = bool(args.ec_thread), args.stream_part_p
+        if args.aligned_enc is not None and hasattr(p_rt, "aligned_enc"):
+            p_rt.aligned_enc = bool(args.aligned_enc)
         p_rt.update(force=True)
         p_rt = adapt_p_runtime(p_rt)
     return i_rt, p_rt, pad_multiple
